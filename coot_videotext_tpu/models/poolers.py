@@ -1,0 +1,192 @@
+"""
+Sequence poolers: generalized attention pooling (GenPool) and the COOT
+average pool.
+
+Parity with reference nntrainer/models/poolers.py:
+    - GenPool (:111-205): per-head 2-layer MLP on features -> masked softmax
+      over the sequence (fill -INF) -> weighted sum. Head weights are stored
+      as stacked (heads, in, out) tensors like the reference so the math (and
+      a future torch-checkpoint converter) line up.
+    - MultiGenPool (:84): the reference feeds each pool's OUTPUT into the next
+      pool, so only num_layers=1 is functional; all configs use 1, we assert.
+    - TemporalAvgPool (:232, "avg_special"): sum over valid / lengths.
+
+Mask convention: True = valid.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from coot_videotext_tpu.models.configs import PoolerConfig, PoolerConst
+from coot_videotext_tpu.models.layers import make_activation, make_initializer
+from coot_videotext_tpu.typext import INF
+from coot_videotext_tpu.models.attention import masked_softmax
+
+Dtype = Any
+
+
+class GenPool(nn.Module):
+    """
+    Generalized pooling ('Enhancing Sentence Embedding with Generalized
+    Pooling'), reference poolers.py:111.
+    """
+    d_input: int
+    d_attn: int
+    num_heads: int
+    dropout: float
+    activation_cfg: Any
+    init_type: str = "truncnorm"
+    init_std: float = 0.01
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
+                 lengths: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """
+        Args:
+            features: (B, L, D)
+            mask: validity mask (B, L), True = valid
+            lengths: (B,) unused (parity with reference signature)
+
+        Returns:
+            pooled (B, D)
+        """
+        d_attn = self.d_attn if self.d_attn > 0 else self.d_input
+        assert d_attn % self.num_heads == 0
+        d_head = d_attn // self.num_heads
+        assert self.d_input % self.num_heads == 0
+        d_head_out = self.d_input // self.num_heads
+        init = make_initializer(self.init_type, self.init_std)
+        w1 = self.param("genpool_w1_head", init,
+                        (self.num_heads, self.d_input, d_head), jnp.float32)
+        b1 = self.param("genpool_b1_head", init,
+                        (self.num_heads, d_head), jnp.float32)
+        w2 = self.param("genpool_w2_head", init,
+                        (self.num_heads, d_head, d_head_out), jnp.float32)
+        b2 = self.param("genpool_b2_head", init,
+                        (self.num_heads, d_head_out), jnp.float32)
+        act = make_activation(self.activation_cfg)
+
+        f = features.astype(self.dtype)
+        # (B, H, L, d_head)
+        h = jnp.einsum("bld,hdk->bhlk", f, w1.astype(self.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        h = h + b1.astype(self.dtype)[None, :, None, :]
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        h = act(h)
+        # (B, H, L, d_head_out)
+        h = jnp.einsum("bhlk,hko->bhlo", h, w2.astype(self.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        h = h + b2.astype(self.dtype)[None, :, None, :]
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+
+        # masked softmax over the sequence axis (axis=2), f32
+        # (reference fills -INF where padded, softmax dim=2)
+        smweights = masked_softmax(
+            h, mask[:, None, :, None].astype(bool), axis=2)
+        smweights = smweights.astype(self.dtype)
+        if self.dropout > 0:
+            smweights = nn.Dropout(rate=self.dropout)(
+                smweights, deterministic=deterministic)
+        # interleave heads back to full feature dim:
+        # (B, H, L, d_head_out) -> (B, L, H*d_head_out = D)
+        smweights = jnp.transpose(smweights, (0, 2, 1, 3)).reshape(
+            features.shape[0], features.shape[1], self.d_input)
+        pooled = jnp.sum(f * smweights, axis=1)
+        return pooled
+
+
+class MultiGenPool(nn.Module):
+    """Stacked GenPool (reference poolers.py:84). Only 1 layer functional."""
+    cfg: PoolerConfig
+    d_input: int
+    init_type: str = "truncnorm"
+    init_std: float = 0.01
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
+                 lengths: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        assert self.cfg.num_layers == 1, (
+            "MultiGenPool >1 layer is nonfunctional in the reference "
+            "(each pool output feeds the next pool); all configs use 1.")
+        return GenPool(
+            d_input=self.d_input, d_attn=self.cfg.hidden_dim,
+            num_heads=self.cfg.num_heads, dropout=self.cfg.dropout,
+            activation_cfg=self.cfg.activation, init_type=self.init_type,
+            init_std=self.init_std, dtype=self.dtype,
+            name="pool_0")(features, mask, lengths,
+                           deterministic=deterministic)
+
+
+class TemporalAvgPool(nn.Module):
+    """Masked mean over the sequence (reference poolers.py:232)."""
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
+                 lengths: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        valid = mask.astype(features.dtype)[:, :, None]
+        summed = jnp.sum(features * valid, axis=1)
+        return summed / jnp.maximum(
+            lengths.astype(features.dtype)[:, None], 1.0)
+
+
+class TemporalMaxPool(nn.Module):
+    """Masked max over the sequence (reference poolers.py:211)."""
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
+                 lengths: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        filled = jnp.where(mask[:, :, None].astype(bool), features, -INF)
+        return jnp.max(filled, axis=1)
+
+
+class TemporalLastPool(nn.Module):
+    """Last valid element (reference poolers.py 'last')."""
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
+                 lengths: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        idx = jnp.maximum(lengths - 1, 0)
+        return jnp.take_along_axis(
+            features, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+
+
+class TemporalFirstPool(nn.Module):
+    """First element, e.g. CLS (reference poolers.py 'first')."""
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
+                 lengths: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        return features[:, 0]
+
+
+def make_pooler(cfg: PoolerConfig, d_input: int, init_type: str,
+                init_std: float, dtype: Dtype, name: str) -> nn.Module:
+    """Pooler factory (reference poolers.py:24 make_pooler_module)."""
+    if cfg.name == PoolerConst.ATN:
+        return MultiGenPool(cfg=cfg, d_input=d_input, init_type=init_type,
+                            init_std=init_std, dtype=dtype, name=name)
+    if cfg.name == PoolerConst.AVG_SPECIAL:
+        return TemporalAvgPool(name=name)
+    if cfg.name == PoolerConst.MAX:
+        return TemporalMaxPool(name=name)
+    if cfg.name == PoolerConst.AVG:
+        return TemporalAvgPool(name=name)
+    if cfg.name == PoolerConst.LAST:
+        return TemporalLastPool(name=name)
+    if cfg.name == PoolerConst.FIRST:
+        return TemporalFirstPool(name=name)
+    raise ValueError(f"Unknown pooler {cfg.name}")

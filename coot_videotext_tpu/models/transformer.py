@@ -1,0 +1,133 @@
+"""
+The COOT building block: one configurable transformer network
+(input FC -> positional encoding -> self-attention -> optional cross-attention
+with a global context query -> pooling), instantiated four times by the
+retrieval model.
+
+Pipeline parity with reference transformer_legacy.py:115-288 (forward :200):
+input dropout -> input norm -> input FC -> optional CLS token -> sincos PE ->
+self-attn encoder -> optional cross-attn (context vector as query, sequence as
+key/value; result concatenated to the pooled output) -> pooler -> optional
+output FC -> optional linear_out. Returns (pooled, seq_features).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from coot_videotext_tpu.models.attention import (
+    TransformerDecoder, TransformerEncoder)
+from coot_videotext_tpu.models.configs import (
+    PositionalEncodingConst, TransformerConfig, TransformerTypesConst)
+from coot_videotext_tpu.models.layers import (
+    MLP, LearnableClsToken, PositionalEncodingSinCos, make_bias_initializer,
+    make_initializer, make_normalization)
+from coot_videotext_tpu.models.poolers import make_pooler
+
+Dtype = Any
+
+
+class CootTransformer(nn.Module):
+    """One COOT network (reference TransformerLegacy)."""
+    cfg: TransformerConfig
+    max_len: int = 1024
+    dtype: Dtype = jnp.float32
+
+    @property
+    def output_dim(self) -> int:
+        """Pooled output dim incl. cross-attn concat (reference :186-198)."""
+        out = self.cfg.output_dim
+        if self.cfg.use_context:
+            out += self.cfg.crossatn.hidden_dim
+        return out
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
+                 lengths: jnp.ndarray,
+                 hidden_state: Optional[jnp.ndarray] = None, *,
+                 deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """
+        Args:
+            features: (B, L, D_in)
+            mask: validity mask (B, L); True = real token
+            lengths: (B,)
+            hidden_state: optional context vector (B, D_ctx) for cross-attn
+
+        Returns:
+            (pooled (B, output_dim), seq_features (B, L[+1], hidden))
+        """
+        cfg = self.cfg
+        assert cfg.name == TransformerTypesConst.TRANSFORMER_LEGACY, (
+            f"Unsupported network type {cfg.name}")
+        init_type, init_std = cfg.weight_init_type, cfg.weight_init_std
+
+        x = features.astype(self.dtype)
+        if cfg.dropout_input > 0:
+            x = nn.Dropout(rate=cfg.dropout_input)(
+                x, deterministic=deterministic)
+        norm_in = make_normalization(None, cfg.norm_input, self.dtype)
+        if norm_in is not None:
+            x = norm_in(x)
+        if cfg.use_input_fc:
+            x = MLP(cfg=cfg.input_fc_config, init_type=init_type,
+                    init_std=init_std, dtype=self.dtype,
+                    name="input_fc")(x, deterministic=deterministic)
+
+        if cfg.add_local_cls_token:
+            x, mask, lengths = LearnableClsToken(
+                d_model=cfg.selfatn.hidden_dim,
+                init_type=cfg.local_cls_token_init_type,
+                init_std=cfg.local_cls_token_init_std, dtype=self.dtype,
+                name="cls_token")(x, mask, lengths)
+
+        if cfg.positional_encoding == PositionalEncodingConst.SINCOS:
+            x = PositionalEncodingSinCos(
+                dim=cfg.selfatn.hidden_dim, dropout=cfg.dropout_input,
+                max_len=self.max_len, dtype=self.dtype,
+                name="embedding")(x, deterministic=deterministic)
+        elif cfg.positional_encoding != PositionalEncodingConst.NONE:
+            raise ValueError(
+                f"Unknown positional encoding {cfg.positional_encoding}")
+
+        x = TransformerEncoder(
+            cfg=cfg.selfatn, init_type=init_type, init_std=init_std,
+            dtype=self.dtype, name="tf")(
+                x, mask, deterministic=deterministic)
+
+        add_after_pool = None
+        if cfg.use_context:
+            assert hidden_state is not None, (
+                "use_context network needs a hidden_state query")
+            query = hidden_state.astype(self.dtype)[:, None, :]
+            ctx = TransformerDecoder(
+                cfg=cfg.crossatn, init_type=init_type, init_std=init_std,
+                dtype=self.dtype, name="tf_context")(
+                    query, x, mask, deterministic=deterministic)
+            add_after_pool = ctx[:, 0]
+
+        pooled = make_pooler(cfg.pooler_config, cfg.selfatn.hidden_dim,
+                             init_type, init_std, self.dtype,
+                             name="pooler")(
+                                 x, mask, lengths,
+                                 deterministic=deterministic)
+
+        if add_after_pool is not None:
+            pooled = jnp.concatenate([pooled, add_after_pool], axis=-1)
+
+        if cfg.use_output_fc:
+            pooled = MLP(cfg=cfg.output_fc_config, init_type=init_type,
+                         init_std=init_std, dtype=self.dtype,
+                         name="output_fc")(pooled,
+                                           deterministic=deterministic)
+        if cfg.linear_out:
+            kinit = make_initializer(init_type, init_std)
+            binit = make_bias_initializer(init_type, init_std)
+            pooled = nn.Dense(pooled.shape[-1], kernel_init=kinit,
+                              bias_init=binit, dtype=self.dtype,
+                              param_dtype=jnp.float32,
+                              name="linear_out")(pooled)
+        return pooled, x

@@ -1,0 +1,21 @@
+"""
+Test configuration: force the JAX CPU platform with 8 virtual devices so
+multi-chip sharding (dp mesh, globally-gathered negatives) is exercised
+without TPU hardware.
+
+Note: this environment registers a TPU PJRT plugin from sitecustomize before
+conftest runs, and that registration overrides the JAX_PLATFORMS env var —
+`jax.config.update` after import is the reliable way to pin the cpu backend
+(backends initialize lazily on first use, so this is early enough).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,95 @@
+"""Layer numerics: COOT layernorm vs torch formula, sincos PE, MLP shapes,
+truncnorm init bounds."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from coot_videotext_tpu.models.configs import (
+    ActivationConfig, MLPConfig, NormalizationConfig)
+from coot_videotext_tpu.models.layers import (
+    MLP, CootLayerNorm, make_activation, sincos_positional_encoding)
+
+
+def test_coot_layernorm_matches_torch_formula():
+    """gain*(x-mean)/(std_bessel+eps)+bias, reference normalizations.py:98."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 7, 16).astype(np.float32)
+    ln = CootLayerNorm(eps=1e-6)
+    params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = ln.apply(params, jnp.asarray(x))
+    mean = x.mean(-1, keepdims=True)
+    std = x.std(-1, ddof=1, keepdims=True)  # Bessel-corrected like torch .std()
+    expected = (x - mean) / (std + 1e-6)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_coot_layernorm_differs_from_standard():
+    """It must NOT equal biased-variance layernorm (parity-relevant)."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3, 8).astype(np.float32)
+    ln = CootLayerNorm(eps=1e-6)
+    params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(ln.apply(params, jnp.asarray(x)))
+    mean = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    standard = (x - mean) / np.sqrt(var + 1e-6)
+    assert np.abs(out - standard).max() > 1e-3
+
+
+def test_sincos_positional_encoding_reference_variant():
+    """pe[:,0::2]=sin(pos/div[0::2]), pe[:,1::2]=cos(pos/div[1::2]),
+    div=10000**(2*arange(dim)/dim) (reference encoder.py:84-90)."""
+    dim, max_len = 10, 20
+    pe = np.asarray(sincos_positional_encoding(max_len, dim))
+    pos = np.arange(max_len)[:, None].astype(np.float64)
+    dimension = np.arange(dim).astype(np.float64)
+    div = 10000.0 ** (2 * dimension / dim)
+    expected = np.zeros((max_len, dim))
+    expected[:, 0::2] = np.sin(pos / div[0::2])
+    expected[:, 1::2] = np.cos(pos / div[1::2])
+    np.testing.assert_allclose(pe, expected, atol=1e-5)
+
+
+def test_gelu_exact():
+    """gelu must be erf-based (torch default), not tanh-approximate."""
+    act = make_activation(ActivationConfig("gelu"))
+    x = jnp.asarray([-1.0, -0.1, 0.0, 0.5, 2.0])
+    from scipy.stats import norm
+    expected = np.asarray(x) * norm.cdf(np.asarray(x))
+    np.testing.assert_allclose(np.asarray(act(x)), expected, atol=1e-6)
+
+
+def _mlp_cfg(**over):
+    base = dict(output_dim=8, num_layers=1, hidden_dim=0,
+                activation_middle="none", activation_output="gelu",
+                dropout_middle=0, dropout_output=0, norm_middle="none",
+                norm_output="none", residual="none")
+    base.update(over)
+    return MLPConfig(base)
+
+
+def test_mlp_shapes_and_residual():
+    x = jnp.ones((3, 5, 8))
+    mlp = MLP(cfg=_mlp_cfg(residual="passthrough"))
+    params = mlp.init(jax.random.PRNGKey(0), x)
+    out = mlp.apply(params, x)
+    assert out.shape == (3, 5, 8)
+
+    mlp2 = MLP(cfg=_mlp_cfg(num_layers=3, hidden_dim=16, output_dim=4,
+                            activation_middle="relu", residual="linear"))
+    params2 = mlp2.init(jax.random.PRNGKey(0), x)
+    out2 = mlp2.apply(params2, x)
+    assert out2.shape == (3, 5, 4)
+    # 3 fc layers + 1 residual fc
+    assert len(params2["params"]) == 4
+
+
+def test_truncnorm_init_bounds():
+    mlp = MLP(cfg=_mlp_cfg(), init_type="truncnorm", init_std=0.01)
+    params = mlp.init(jax.random.PRNGKey(0), jnp.ones((2, 8)))
+    kernel = np.asarray(params["params"]["fc_0"]["kernel"])
+    assert np.abs(kernel).max() <= 0.02 + 1e-6  # 2 sigma truncation
+    assert kernel.std() == pytest.approx(0.01, rel=0.4)
