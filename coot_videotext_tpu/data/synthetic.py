@@ -1,0 +1,145 @@
+"""
+Synthetic dataset generator producing the exact on-disk layout the loaders
+expect (meta_<name>.json + video_feat_<name>.h5 + text_feat_<name>.h5 +
+sentence_splits json, matching reference coot/features_loader.py and
+data_read_youcook2_meta.py outputs). Used by tests and bench.py — the
+reference repo ships no feature files, so the full real pipeline is
+exercised on generated data with realistic shapes.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Union
+
+import h5py
+import numpy as np
+
+
+def generate_retrieval_dataset(
+        root: Union[str, Path], *,
+        dataset_name: str = "synth",
+        metadata_name: str = "all",
+        vid_feat_name: str = "video_feat_synth",
+        text_feat_name: str = "text_feat_synth",
+        num_videos: int = 32,
+        num_val_videos: int = 8,
+        vid_feat_dim: int = 64,
+        text_feat_dim: int = 48,
+        mean_clips: float = 4.0,
+        max_clips: int = 8,
+        fps: float = 2.0,
+        mean_duration_sec: float = 120.0,
+        tokens_per_sentence: int = 12,
+        seed: int = 0) -> Dict[str, str]:
+    """
+    Create a complete synthetic retrieval dataset under root/<dataset_name>/.
+    Paired video clips and sentences share a latent vector so retrieval
+    metrics are learnable (loss decreases, R@1 >> chance after training).
+
+    Returns a dict of config overrides for RetrievalDatasetConfig.
+    """
+    rng = np.random.RandomState(seed)
+    path = Path(root) / dataset_name
+    path.mkdir(parents=True, exist_ok=True)
+
+    total = num_videos + num_val_videos
+    meta = {}
+    vid_h5 = h5py.File(path / f"{vid_feat_name}.h5", "w")
+    text_h5 = h5py.File(path / f"{text_feat_name}.h5", "w")
+    sentence_splits: Dict[str, list] = {}
+
+    for i in range(total):
+        key = f"video{i:04d}"
+        split = "train" if i < num_videos else "val"
+        n_clips = int(np.clip(rng.poisson(mean_clips - 1) + 1, 1, max_clips))
+        duration = max(20.0, rng.normal(mean_duration_sec,
+                                        mean_duration_sec / 4))
+        num_frames = int(duration * fps)
+
+        # shared latent per clip drives both modalities
+        latents = rng.randn(n_clips, 16).astype(np.float32)
+        proj_v = rng.randn(16, vid_feat_dim).astype(np.float32) / 4
+        proj_t = rng.randn(16, text_feat_dim).astype(np.float32) / 4
+
+        vid_feat = rng.randn(num_frames, vid_feat_dim).astype(np.float32)
+        bounds = np.sort(rng.choice(
+            np.arange(1, num_frames - 1), size=max(n_clips - 1, 0),
+            replace=False)) if n_clips > 1 else np.array([], int)
+        seg_starts = np.concatenate([[0], bounds]).astype(int)
+        seg_stops = np.concatenate([bounds, [num_frames]]).astype(int)
+
+        segments = []
+        splits = []
+        text_rows = []
+        for c in range(n_clips):
+            s, e = int(seg_starts[c]), int(seg_stops[c])
+            vid_feat[s:e] += latents[c] @ proj_v
+            t0, t1 = s / fps, e / fps
+            segments.append({
+                "text": f"synthetic sentence {i} {c} doing things.",
+                "start_sec": float(t0), "stop_sec": float(t1)})
+            n_tok = tokens_per_sentence
+            rows = rng.randn(n_tok, text_feat_dim).astype(np.float32)
+            rows += latents[c] @ proj_t
+            text_rows.append(rows)
+            splits.append(n_tok)
+
+        meta[key] = {
+            "data_key": key,
+            "split": split,
+            "duration_sec": float(duration),
+            "segments": segments,
+        }
+        vid_h5[key] = vid_feat
+        text_h5[key] = np.concatenate(text_rows, axis=0)
+        sentence_splits[key] = splits
+
+    vid_h5.close()
+    text_h5.close()
+    (path / f"meta_{metadata_name}.json").write_text(
+        json.dumps(meta), encoding="utf8")
+    (path / f"{text_feat_name}_sentence_splits.json").write_text(
+        json.dumps(sentence_splits), encoding="utf8")
+
+    return {
+        "name": dataset_name,
+        "metadata_name": metadata_name,
+        "vid_feat_name": vid_feat_name,
+        "vid_feat_source": "h5",
+        "vid_feat_dim": vid_feat_dim,
+        "text_feat_name": text_feat_name,
+        "text_feat_source": "h5",
+        "text_feat_dim": text_feat_dim,
+    }
+
+
+def _main() -> None:
+    """CLI: generate a synthetic retrieval dataset on disk.
+
+    Example: python -m coot_videotext_tpu.data.synthetic data --name synth
+    """
+    import argparse
+    parser = argparse.ArgumentParser(description=_main.__doc__)
+    parser.add_argument("root", type=str, help="data root directory")
+    parser.add_argument("--name", type=str, default="synth")
+    parser.add_argument("--num_videos", type=int, default=32)
+    parser.add_argument("--num_val_videos", type=int, default=8)
+    parser.add_argument("--vid_feat_dim", type=int, default=64)
+    parser.add_argument("--text_feat_dim", type=int, default=48)
+    parser.add_argument("--mean_clips", type=float, default=4.0)
+    parser.add_argument("--max_clips", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+    overrides = generate_retrieval_dataset(
+        args.root, dataset_name=args.name,
+        num_videos=args.num_videos, num_val_videos=args.num_val_videos,
+        vid_feat_dim=args.vid_feat_dim, text_feat_dim=args.text_feat_dim,
+        mean_clips=args.mean_clips, max_clips=args.max_clips,
+        seed=args.seed)
+    print(f"Generated synthetic dataset: {overrides}")
+
+
+if __name__ == "__main__":
+    _main()

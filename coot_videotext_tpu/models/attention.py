@@ -36,6 +36,19 @@ from coot_videotext_tpu.typext import INF
 Dtype = Any
 
 
+def einsum_f32(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """
+    Einsum with float32 accumulation. On TPU this is the native MXU op
+    (bf16 x bf16 -> f32); the XLA CPU backend doesn't implement that dot
+    shape, so low-precision inputs are upcast there instead (tests /
+    dry runs run on the CPU backend).
+    """
+    if jax.default_backend() == "cpu" and a.dtype != jnp.float32:
+        return jnp.einsum(spec, a.astype(jnp.float32),
+                          b.astype(jnp.float32))
+    return jnp.einsum(spec, a, b, preferred_element_type=jnp.float32)
+
+
 def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray],
                    axis: int = -1) -> jnp.ndarray:
     """
@@ -89,8 +102,7 @@ class MultiHeadAttention(nn.Module):
             b, lk, self.num_heads, d_head)
 
         # (B, H, Lq, Lk) logits; accumulate in f32 on the MXU
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
+        scores = einsum_f32("bqhd,bkhd->bhqk", q, k)
         scores = scores / jnp.sqrt(jnp.float32(d_head))
         attn_mask = None
         if mask is not None:
@@ -100,8 +112,7 @@ class MultiHeadAttention(nn.Module):
         if self.dropout > 0:
             attn = nn.Dropout(rate=self.dropout)(
                 attn, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                         preferred_element_type=jnp.float32)
+        ctx = einsum_f32("bhqk,bkhd->bqhd", attn, v)
         ctx = ctx.astype(self.dtype).reshape(b, lq, self.d_model)
         return dense("final_projection")(ctx)
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from coot_videotext_tpu.models.configs import PoolerConfig, PoolerConst
+from coot_videotext_tpu.models.attention import einsum_f32
 from coot_videotext_tpu.models.layers import make_activation, make_initializer
 from coot_videotext_tpu.typext import INF
 from coot_videotext_tpu.models.attention import masked_softmax
@@ -74,15 +75,15 @@ class GenPool(nn.Module):
 
         f = features.astype(self.dtype)
         # (B, H, L, d_head)
-        h = jnp.einsum("bld,hdk->bhlk", f, w1.astype(self.dtype),
-                       preferred_element_type=jnp.float32).astype(self.dtype)
+        h = einsum_f32("bld,hdk->bhlk", f,
+                       w1.astype(self.dtype)).astype(self.dtype)
         h = h + b1.astype(self.dtype)[None, :, None, :]
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         h = act(h)
         # (B, H, L, d_head_out)
-        h = jnp.einsum("bhlk,hko->bhlo", h, w2.astype(self.dtype),
-                       preferred_element_type=jnp.float32).astype(self.dtype)
+        h = einsum_f32("bhlk,hko->bhlo", h,
+                       w2.astype(self.dtype)).astype(self.dtype)
         h = h + b2.astype(self.dtype)[None, :, None, :]
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)

@@ -135,6 +135,10 @@ class RetrievalDatasetConfig(trainer_configs.BaseDatasetConfig):
         self.pad_max_clips: int = config.pop("pad_max_clips", -1)
         self.pad_max_sent_tokens: int = config.pop("pad_max_sent_tokens", -1)
         self.pad_max_par_tokens: int = config.pop("pad_max_par_tokens", -1)
+        # True: pad all batches to dataset-level static dims (one XLA
+        # compile); False: per-batch bucketed shapes (a handful of compiles,
+        # less padding compute)
+        self.pad_fixed_shapes: bool = config.pop("pad_fixed_shapes", False)
         assert self.data_type == ExperimentTypesConst.RETRIEVAL
         assert self.frames_noise >= 0 and self.words_noise >= 0
 

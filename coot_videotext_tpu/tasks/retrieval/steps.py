@@ -1,0 +1,157 @@
+"""
+Jitted retrieval train/eval steps over a device mesh.
+
+TPU-native replacement for the reference's per-step host loop
+(reference coot/trainer_retrieval.py:235-310): forward of the 4-network
+hierarchy, total loss, backward, optimizer update — all fused into ONE
+jit-compiled SPMD program. The batch is sharded over the mesh `data` axis,
+parameters are replicated; the loss is written on the GLOBAL batch, so GSPMD
+inserts the embedding all-gather and the gradient psum (the reference's
+negatives = full batch semantics is preserved exactly; SURVEY.md §2.9).
+
+The learning rate enters as a traced scalar: the host-side
+reduce-on-plateau scheduler never triggers a recompile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from coot_videotext_tpu.parallel.mesh import (
+    batch_sharding, replicated_sharding)
+from coot_videotext_tpu.train.losses import (
+    compute_total_retrieval_loss, l2_normalize)
+from coot_videotext_tpu.train.optim import (
+    Optimizer, clip_by_global_norm, global_norm)
+
+PyTree = Any
+
+
+class TrainState(NamedTuple):
+    """Replicated train state: parameters + optimizer state + step count."""
+    params: PyTree
+    opt_state: PyTree
+    step: jnp.ndarray  # int32 scalar
+
+
+def make_retrieval_train_step(
+        model, optimizer: Optimizer, *,
+        loss_weights: Dict[str, float], margin: float,
+        loss_cycle_cons: float, clip_gradient: float = -1.0,
+        mesh=None) -> Callable:
+    """
+    Build the jitted train step:
+        step(state, batch, lr, rng) -> (new_state, metrics)
+
+    metrics holds the loss parts (loss_total/loss_contrastive/loss_cc/...)
+    and, when clip_gradient > 0, the pre-clip grad norm (the reference only
+    computes the norm when clipping, trainer_base.py:545-554).
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                lr: jnp.ndarray, rng: jax.Array
+                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng_dropout, rng_cc = jax.random.split(rng)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch,
+                              deterministic=False,
+                              rngs={"dropout": rng_dropout})
+            visual = {k: out[k] for k in
+                      ("vid_emb", "clip_emb", "vid_context", "clip_valid",
+                       "clip_num")}
+            text = {k: out[k] for k in
+                    ("par_emb", "sent_emb", "par_context", "sent_valid",
+                     "sent_num")}
+            loss, parts = compute_total_retrieval_loss(
+                visual, text, loss_weights, margin, loss_cycle_cons,
+                rng=rng_cc, batch_valid=batch["batch_valid"])
+            return loss, parts
+
+        (_, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        metrics = dict(parts)
+        if clip_gradient > 0:
+            grads, norm = clip_by_global_norm(grads, clip_gradient)
+            metrics["grad_norm"] = norm
+        new_params, new_opt = optimizer.update(
+            grads, state.opt_state, state.params, lr)
+        new_state = TrainState(new_params, new_opt, state.step + 1)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, data, rep, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,))
+
+
+def make_retrieval_eval_step(model, *, loss_weights: Dict[str, float],
+                             margin: float, loss_cycle_cons: float,
+                             mesh=None) -> Callable:
+    """
+    Build the jitted eval step:
+        eval_step(params, batch, rng) -> (embeddings dict, loss parts)
+
+    Embeddings come back both raw and L2-normalized (reference
+    trainer_retrieval.py:382-402 collects raw then normalizes manually on
+    host; here both live on device).
+    """
+
+    def eval_fn(params, batch: Dict[str, jnp.ndarray], rng: jax.Array
+                ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        out = model.apply({"params": params}, batch, deterministic=True)
+        visual = {k: out[k] for k in
+                  ("vid_emb", "clip_emb", "vid_context", "clip_valid",
+                   "clip_num")}
+        text = {k: out[k] for k in
+                ("par_emb", "sent_emb", "par_context", "sent_valid",
+                 "sent_num")}
+        _, parts = compute_total_retrieval_loss(
+            visual, text, loss_weights, margin, loss_cycle_cons,
+            rng=rng, batch_valid=batch["batch_valid"])
+        embs = {
+            "vid_emb_before_norm": out["vid_emb"],
+            "par_emb_before_norm": out["par_emb"],
+            "clip_emb_before_norm": out["clip_emb"],
+            "sent_emb_before_norm": out["sent_emb"],
+            "vid_context_before_norm": out["vid_context"],
+            "par_context_before_norm": out["par_context"],
+            "vid_emb": l2_normalize(out["vid_emb"]),
+            "par_emb": l2_normalize(out["par_emb"]),
+            "clip_emb": l2_normalize(out["clip_emb"]),
+            "sent_emb": l2_normalize(out["sent_emb"]),
+            "vid_context": l2_normalize(out["vid_context"]),
+            "par_context": l2_normalize(out["par_context"]),
+            "clip_valid": out["clip_valid"],
+            "sent_valid": out["sent_valid"],
+            "clip_num": out["clip_num"],
+            "sent_num": out["sent_num"],
+        }
+        return embs, parts
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(rep, data, rep),
+                   out_shardings=(data, rep))
+
+
+def init_train_state(model, optimizer: Optimizer, rng: jax.Array,
+                     sample_batch: Dict[str, jnp.ndarray]) -> TrainState:
+    """Initialize parameters + optimizer state from a (small) sample batch."""
+    variables = model.init({"params": rng, "dropout": rng}, sample_batch,
+                           deterministic=True)
+    params = variables["params"]
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.int32(0))

@@ -1,0 +1,283 @@
+"""
+Retrieval trainer: COOT training/validation on a TPU mesh.
+
+Behavioral port of reference coot/trainer_retrieval.py:26-499. Differences
+are the execution model, not semantics:
+    - the per-step autocast-forward / backward / optimizer sequence
+      (reference :264-285) is ONE jitted SPMD train step (steps.py) fed by a
+      double-buffered host prefetch; the GradScaler disappears (bf16).
+    - validation embeddings stay on device until concatenated; retrieval
+      ranks are computed on device (tasks/retrieval/eval.py) instead of the
+      numpy argsort loop.
+    - embedding export writes the same h5 schema incl. *_before_norm keys
+      (reference :404-415), with padded clip/sentence slots compacted away.
+"""
+
+from __future__ import annotations
+
+from timeit import default_timer as timer
+from typing import Dict, Optional, Tuple
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coot_videotext_tpu.data.pipeline import prefetch_to_device
+from coot_videotext_tpu.parallel.mesh import batch_sharding
+from coot_videotext_tpu.tasks.retrieval import eval as retrieval
+from coot_videotext_tpu.tasks.retrieval.config import (
+    CootMetersConst as CMeters, ExperimentTypesConst, RetrievalConfig)
+from coot_videotext_tpu.tasks.retrieval.model_manager import (
+    RetrievalModelManager, build_dummy_retrieval_batch)
+from coot_videotext_tpu.tasks.retrieval.steps import (
+    TrainState, init_train_state, make_retrieval_eval_step,
+    make_retrieval_train_step)
+from coot_videotext_tpu.train.optim import make_optimizer
+from coot_videotext_tpu.train.schedule import make_lr_scheduler
+from coot_videotext_tpu.train.trainer_base import BaseTrainer
+from coot_videotext_tpu.utils.general import TrainerPathConst
+from coot_videotext_tpu.utils.metrics import DefaultMetricsConst as Metrics
+
+EMB_KEYS = ("vid_emb", "par_emb", "clip_emb", "sent_emb", "vid_context",
+            "par_context")
+
+
+class RetrievalTrainer(BaseTrainer):
+    """COOT retrieval trainer (reference RetrievalTrainer :26)."""
+
+    def __init__(self, cfg: RetrievalConfig,
+                 model_mgr: RetrievalModelManager, exp_group: str,
+                 exp_name: str, run_name: str, train_loader_length: int,
+                 *, log_dir: str = TrainerPathConst.DIR_EXPERIMENTS,
+                 load_model: Optional[str] = None, load_best: bool = False,
+                 load_epoch: Optional[int] = None, reset: bool = False,
+                 is_test: bool = False) -> None:
+        super().__init__(
+            cfg, model_mgr, exp_group, exp_name, run_name,
+            train_loader_length, ExperimentTypesConst.RETRIEVAL,
+            load_model=load_model, load_best=load_best,
+            load_epoch=load_epoch, reset=reset, is_test=is_test,
+            log_dir=log_dir)
+        self.cfg: RetrievalConfig = cfg
+
+        # loss meters (reference :87-103)
+        self.metrics.add_meter(CMeters.VAL_LOSS_CC, use_avg=False)
+        self.metrics.add_meter(CMeters.VAL_LOSS_CONTRASTIVE, use_avg=False)
+        self.metrics.add_meter(CMeters.TRAIN_LOSS_CC, per_step=True,
+                               use_avg=False)
+        self.metrics.add_meter(CMeters.TRAIN_LOSS_CONTRASTIVE,
+                               per_step=True, use_avg=False)
+        for modality in CMeters.RET_MODALITIES:
+            for metric in CMeters.RET_METRICS:
+                metric_class = "val_base" if metric == "r1" else "val_ret"
+                self.metrics.add_meter(f"{metric_class}/{modality}-{metric}",
+                                       use_avg=False)
+
+        # optimization: RAdam + reduce-on-plateau (reference :109-117)
+        self.optimizer = make_optimizer(cfg.optimizer)
+        self.lr_scheduler = make_lr_scheduler(
+            cfg.lr_scheduler, cfg.optimizer.lr, cfg.train.num_epochs,
+            train_loader_length, self.logger)
+
+        # params + train state
+        seed = cfg.random_seed if cfg.random_seed is not None else 0
+        params = model_mgr.init_params(seed,
+                                       build_dummy_retrieval_batch(cfg))
+        self.train_state = TrainState(
+            params, self.optimizer.init(params), jnp.int32(0))
+        self.logger.info(
+            f"Model: {model_mgr.count_parameters(params):,} parameters")
+        self._root_rng = jax.random.PRNGKey(seed)
+
+        # jitted steps
+        lw = cfg.train.contrastive_loss_config.as_dict()
+        margin = cfg.train.contrastive_loss_config.margin
+        self._train_step = make_retrieval_train_step(
+            model_mgr.model_train, self.optimizer, loss_weights=lw,
+            margin=margin, loss_cycle_cons=cfg.train.loss_cycle_cons,
+            clip_gradient=cfg.train.clip_gradient, mesh=self.mesh)
+        self._eval_step = make_retrieval_eval_step(
+            model_mgr.model_eval, loss_weights=lw, margin=margin,
+            loss_cycle_cons=cfg.train.loss_cycle_cons, mesh=self.mesh)
+        self._data_sharding = batch_sharding(self.mesh)
+
+        self.hook_post_init()
+
+    # ---------- state accessors for checkpointing ----------
+
+    def get_model_state(self):
+        return {"params": jax.device_get(self.train_state.params)}
+
+    def set_model_state(self, state) -> None:
+        self.train_state = self.train_state._replace(params=state["params"])
+        self.model_mgr.was_loaded = True
+
+    def get_opt_state(self):
+        return {"opt_state": jax.device_get(self.train_state.opt_state),
+                "step": int(self.train_state.step)}
+
+    def set_opt_state(self, state) -> None:
+        self.train_state = self.train_state._replace(
+            opt_state=state["opt_state"],
+            step=jnp.int32(state["step"]))
+
+    # ---------- training ----------
+
+    def train_model(self, train_loader, val_loader) -> None:
+        self.hook_pre_train()
+        for _epoch in range(self.state.current_epoch,
+                            self.cfg.train.num_epochs):
+            if self.check_early_stop():
+                break
+            train_loader.set_epoch(self.state.current_epoch)
+            self.hook_pre_train_epoch()
+
+            for step, (batch, _meta) in enumerate(prefetch_to_device(
+                    train_loader, sharding=self._data_sharding)):
+                self.hook_pre_step_timer()
+                rng = jax.random.fold_in(self._root_rng,
+                                         int(self.train_state.step))
+                lr = self.lr_scheduler.current_lr
+                self.train_state, metrics = self._train_step(
+                    self.train_state, batch, jnp.float32(lr), rng)
+                # the jitted step covers forward+backward+update; attribute
+                # it to the forward timer (backward meter stays 0)
+                metrics = jax.device_get(metrics)
+                self.hook_post_forward_step_timer()
+                loss = float(metrics["loss_total"])
+                self.metrics.update_meter(CMeters.TRAIN_LOSS_CONTRASTIVE,
+                                          float(metrics["loss_contrastive"]))
+                self.metrics.update_meter(CMeters.TRAIN_LOSS_CC,
+                                          float(metrics["loss_cc"]))
+                self.hook_post_step(
+                    step, loss, lr,
+                    grad_norm=metrics.get("grad_norm"))
+
+            is_val = self.check_is_val_epoch()
+            has_improved = False
+            if is_val:
+                _val_loss, _score, has_improved = self.validate_epoch(
+                    val_loader)
+            self.hook_post_train_and_val_epoch(is_val, has_improved)
+        self.hook_post_train()
+
+    # ---------- validation ----------
+
+    def validate_epoch(self, val_loader, *,
+                       val_clips: bool = False, save_embs: bool = False
+                       ) -> Tuple[float, float, bool]:
+        """One validation epoch (reference :312). Returns
+        (val_loss, val_score, is_best)."""
+        self.hook_pre_val_epoch()
+        val_clips = val_clips or (
+            self.cfg.val.val_clips
+            and self.state.current_epoch % self.cfg.val.val_clips_freq == 0)
+        save_embs = save_embs or self.cfg.val.save_embeddings
+
+        collected: Dict[str, list] = {k: [] for k in EMB_KEYS}
+        collected_raw: Dict[str, list] = {k: [] for k in EMB_KEYS}
+        save_clip_num, save_sent_num, save_keys = [], [], []
+        loss_total = contr_total = cc_total = 0.0
+        forward_time_total = 0.0
+        num_steps = 0
+        rng = jax.random.PRNGKey(42)
+
+        for batch, meta in prefetch_to_device(
+                val_loader, sharding=self._data_sharding):
+            t0 = timer()
+            embs, parts = self._eval_step(self.train_state.params, batch,
+                                          rng)
+            embs = jax.device_get(embs)
+            parts = jax.device_get(parts)
+            forward_time_total += timer() - t0
+            num_steps += 1
+            loss_total += float(parts["loss_total"])
+            contr_total += float(parts["loss_contrastive"])
+            cc_total += float(parts["loss_cc"])
+
+            bv = np.asarray(jax.device_get(batch["batch_valid"]))
+            cv = embs["clip_valid"].astype(bool) & bv[:, None]
+            sv = embs["sent_valid"].astype(bool) & bv[:, None]
+            for key in EMB_KEYS:
+                arr_n = embs[key]
+                arr_r = embs[f"{key}_before_norm"]
+                if key in ("clip_emb", "sent_emb"):
+                    valid = cv if key == "clip_emb" else sv
+                    collected[key].append(arr_n[valid])
+                    collected_raw[key].append(arr_r[valid])
+                else:
+                    collected[key].append(arr_n[bv])
+                    collected_raw[key].append(arr_r[bv])
+            save_clip_num += list(embs["clip_num"][bv])
+            save_sent_num += list(embs["sent_num"][bv])
+            save_keys += list(meta["key"])  # meta holds only real points
+
+        data_norm = {k: np.concatenate(v, axis=0)
+                     for k, v in collected.items()}
+        data_raw = {k: np.concatenate(v, axis=0)
+                    for k, v in collected_raw.items()}
+
+        if save_embs:
+            self.exp.path_embeddings.mkdir(parents=True, exist_ok=True)
+            filename = (self.exp.path_embeddings /
+                        f"embeddings_{self.state.current_epoch}.h5")
+            with h5py.File(filename, "w") as h5:
+                h5["clip_num"] = np.asarray(save_clip_num, np.int64)
+                h5["sent_num"] = np.asarray(save_sent_num, np.int64)
+                h5["key"] = [str(k) for k in save_keys]
+                for key in EMB_KEYS:
+                    h5[key] = data_norm[key]
+                    h5[f"{key}_before_norm"] = data_raw[key]
+            self.logger.info(f"Saved embeddings to {filename}\n")
+
+        loss_total /= max(num_steps, 1)
+        contr_total /= max(num_steps, 1)
+        cc_total /= max(num_steps, 1)
+        forward_time_total /= max(num_steps, 1)
+        self.metrics.update_meter(CMeters.VAL_LOSS_CONTRASTIVE, contr_total)
+        self.metrics.update_meter(CMeters.VAL_LOSS_CC, cc_total)
+
+        self.logger.info(retrieval.VALHEADER)
+        res_v2p, res_p2v, sum_vp_at_1, str_vp = retrieval.compute_retrieval(
+            data_norm, "vid_emb", "par_emb", print_fn=self.logger.info)
+        res_c2s = res_s2c = sum_cs_at_1 = None
+        str_cs = ""
+        if val_clips:
+            res_c2s, res_s2c, sum_cs_at_1, str_cs = \
+                retrieval.compute_retrieval(
+                    data_norm, "clip_emb", "sent_emb",
+                    print_fn=self.logger.info)
+
+        for modality, dict_ret in zip(CMeters.RET_MODALITIES,
+                                      [res_v2p, res_p2v, res_c2s, res_s2c]):
+            if dict_ret is None:
+                continue
+            for metric in CMeters.RET_METRICS:
+                logger_class = "val_base" if metric == "r1" else "val_ret"
+                self.metrics.update_meter(
+                    f"{logger_class}/{modality}-{metric}",
+                    dict_ret[metric])
+
+        self.logger.info(
+            f"Loss {loss_total:.5f} (Contr: {contr_total:.5f}, "
+            f"CC: {cc_total:.5f}) Retrieval: {str_vp}{str_cs}total "
+            f"{timer() - self.timer_val_epoch:.3f}s, forward "
+            f"{forward_time_total:.3f}s")
+
+        # best-field selection (reference :456-464)
+        if self.cfg.val.det_best_field == "val_score_at_1":
+            val_score = sum_vp_at_1
+        elif self.cfg.val.det_best_field == "val_loss":
+            val_score = loss_total
+        elif self.cfg.val.det_best_field == "val_clip_sent_score_at_1":
+            assert sum_cs_at_1 is not None, (
+                "det_best_field val_clip_sent_score_at_1 needs val_clips")
+            val_score = sum_cs_at_1
+        else:
+            raise NotImplementedError(
+                f"best field {self.cfg.val.det_best_field} not known")
+
+        is_best = self.check_is_new_best(val_score)
+        self.hook_post_val_epoch(loss_total, is_best)
+        return loss_total, val_score, is_best

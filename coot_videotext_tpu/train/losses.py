@@ -153,22 +153,31 @@ def _index_losses(emb_mask: jnp.ndarray, beta: jnp.ndarray,
 
 def _subsampled_total(l_seq: jnp.ndarray, emb_mask: jnp.ndarray,
                       emb_lens: jnp.ndarray, num_samples: int,
-                      rng: Optional[jax.Array]) -> jnp.ndarray:
+                      rng: Optional[jax.Array],
+                      batch_valid: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
     """
     Subsample per-position losses (reference get_total_loss :277-320,
     num_samples=1 default: one multinomial draw over valid positions per
-    sequence, mean over draws, mean over batch).
+    sequence, mean over draws, mean over batch). `batch_valid` masks rows
+    belonging to batch padding (static-shape final batch); the mean then
+    runs over the REAL batch only, matching the reference's dynamic batch.
     """
-    batch_size = l_seq.shape[0]
+    if batch_valid is None:
+        n_rows = jnp.float32(l_seq.shape[0])
+        row_w = jnp.ones((l_seq.shape[0],), jnp.float32)
+    else:
+        row_w = batch_valid.astype(jnp.float32)
+        n_rows = jnp.maximum(jnp.sum(row_w), 1.0)
     if num_samples == -1 or rng is None:
         total = jnp.sum(jnp.where(emb_mask, l_seq, 0.0), axis=-1)
         total = total / jnp.maximum(emb_lens.astype(jnp.float32), 1.0)
-        return jnp.mean(total)
+        return jnp.sum(total * row_w) / n_rows
     assert num_samples == 1, "only num_samples in {-1, 1} supported"
     logits = jnp.where(emb_mask, 0.0, -jnp.inf)
     idx = jax.random.categorical(rng, logits, axis=-1)  # (B,)
     picked = jnp.take_along_axis(l_seq, idx[:, None], axis=1)[:, 0]
-    return jnp.sum(picked) / batch_size
+    return jnp.sum(picked * row_w) / n_rows
 
 
 def cycle_consistency_loss(
@@ -179,7 +188,8 @@ def cycle_consistency_loss(
         rng: Optional[jax.Array] = None,
         num_samples: int = 1,
         weight_index_simple: float = 1.0,
-        weight_index_gauss: float = 0.0
+        weight_index_gauss: float = 0.0,
+        batch_valid: Optional[jnp.ndarray] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Clip<->sentence cycle consistency (reference CycleConsistencyLoss :111).
@@ -206,7 +216,7 @@ def cycle_consistency_loss(
         l_seq = (loss_gauss + var_reg) * weight_index_gauss \
             + loss_simple * weight_index_simple
         return _subsampled_total(l_seq, src_mask, src_num, num_samples,
-                                 rng_dir)
+                                 rng_dir, batch_valid)
 
     rng_c = rng_s = None
     if rng is not None:
@@ -222,7 +232,8 @@ def compute_total_retrieval_loss(
         visual: Dict[str, jnp.ndarray], text: Dict[str, jnp.ndarray],
         cfg_weights: Dict[str, float], margin: float,
         loss_cycle_cons: float,
-        rng: Optional[jax.Array] = None
+        rng: Optional[jax.Array] = None,
+        batch_valid: Optional[jnp.ndarray] = None
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """
     Total retrieval loss (reference trainer_retrieval.py:148-233):
@@ -244,11 +255,18 @@ def compute_total_retrieval_loss(
     par_emb_n = l2_normalize(text["par_emb"])
 
     b, nc, d = visual["clip_emb"].shape
+    clip_valid = visual["clip_valid"].astype(bool)
+    sent_valid = text["sent_valid"].astype(bool)
+    bv = None
+    if batch_valid is not None:
+        bv = batch_valid.astype(bool)
+        clip_valid = clip_valid & bv[:, None]
+        sent_valid = sent_valid & bv[:, None]
     clip_flat = l2_normalize(visual["clip_emb"].reshape(b * nc, d))
-    clip_valid_flat = visual["clip_valid"].reshape(b * nc).astype(bool)
+    clip_valid_flat = clip_valid.reshape(b * nc)
     ns = text["sent_emb"].shape[1]
     sent_flat = l2_normalize(text["sent_emb"].reshape(b * ns, -1))
-    sent_valid_flat = text["sent_valid"].reshape(b * ns).astype(bool)
+    sent_valid_flat = sent_valid.reshape(b * ns)
     assert nc == ns, "clips and sentences must be aligned 1:1"
 
     w = cfg_weights
@@ -263,24 +281,24 @@ def compute_total_retrieval_loss(
     loss = jnp.float32(0.0)
     parts: Dict[str, jnp.ndarray] = {}
     if w["weight_high"] != 0:
-        parts["align_high"] = align(vid_emb_n, par_emb_n)
+        parts["align_high"] = align(vid_emb_n, par_emb_n, bv, bv)
         loss = loss + w["weight_high"] * parts["align_high"]
     if w["weight_low"] != 0:
         parts["align_low"] = align(clip_flat, sent_flat, clip_valid_flat,
                                    sent_valid_flat)
         loss = loss + w["weight_low"] * parts["align_low"]
     if w["weight_context"] != 0:
-        parts["align_context"] = align(vid_ctx_n, par_ctx_n)
+        parts["align_context"] = align(vid_ctx_n, par_ctx_n, bv, bv)
         loss = loss + w["weight_context"] * parts["align_context"]
     if w["weight_high_internal"] != 0:
-        parts["cluster_high"] = cluster(vid_emb_n, par_emb_n)
+        parts["cluster_high"] = cluster(vid_emb_n, par_emb_n, bv, bv)
         loss = loss + w["weight_high_internal"] * parts["cluster_high"]
     if w["weight_low_internal"] != 0:
         parts["cluster_low"] = cluster(clip_flat, sent_flat,
                                        clip_valid_flat, sent_valid_flat)
         loss = loss + w["weight_low_internal"] * parts["cluster_low"]
     if w["weight_context_internal"] != 0:
-        parts["cluster_context"] = cluster(vid_ctx_n, par_ctx_n)
+        parts["cluster_context"] = cluster(vid_ctx_n, par_ctx_n, bv, bv)
         # reference reuses weight_low_internal here (trainer_retrieval.py:181)
         loss = loss + w["weight_low_internal"] * parts["cluster_context"]
 
@@ -290,7 +308,8 @@ def compute_total_retrieval_loss(
     if loss_cycle_cons != 0:
         cc_clip, cc_sent = cycle_consistency_loss(
             visual["clip_emb"], visual["clip_valid"], visual["clip_num"],
-            text["sent_emb"], text["sent_valid"], text["sent_num"], rng=rng)
+            text["sent_emb"], text["sent_valid"], text["sent_num"], rng=rng,
+            batch_valid=bv)
         parts["loss_cc"] = loss_cycle_cons * (cc_clip + cc_sent)
         loss = loss + parts["loss_cc"]
     else:

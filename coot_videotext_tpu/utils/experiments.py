@@ -101,6 +101,12 @@ class ExperimentFilesHandler:
         return self.path_models / \
             f"{TrainerPathConst.FILE_PREFIX_OPTIMIZER}_{epoch}"
 
+    def get_scheduler_file(self, epoch: Union[int, str]) -> Path:
+        """json sidecar for host-side LR-scheduler state (the reference
+        stores it inside optimizer_<ep>.pth; here the optimizer file is an
+        orbax array dir, so scheduler state gets its own json)."""
+        return self.path_models / f"scheduler_{epoch}.json"
+
     def get_trainerstate_file(self, epoch: Union[int, str]) -> Path:
         return self.path_models / \
             f"{TrainerPathConst.FILE_PREFIX_TRAINERSTATE}_{epoch}.json"

@@ -57,3 +57,16 @@ def dump_yaml_config_file(file: Union[str, Path], data: Dict[str, Any]) -> None:
     if _coerce_floats(data) != reloaded:
         raise ValueError(
             f"yaml round-trip verification failed for {file}")
+
+
+def dump_json(data, file) -> None:
+    """Write a small json sidecar (host state, not arrays)."""
+    import json
+    from pathlib import Path
+    Path(file).write_text(json.dumps(data, indent=2), encoding="utf8")
+
+
+def load_json(file):
+    import json
+    from pathlib import Path
+    return json.loads(Path(file).read_text(encoding="utf8"))

@@ -1,0 +1,124 @@
+"""
+End-to-end retrieval tests on synthetic data over the 8-device CPU mesh:
+dataset build -> bucketed collation -> SPMD train step -> on-device eval ->
+checkpoint -> resume. Mirrors the reference's integration_train.py contract
+(train, delete trainer, resume from checkpoint, final inference reload).
+"""
+
+import numpy as np
+import pytest
+
+from coot_videotext_tpu.data.retrieval_dataset import (
+    create_retrieval_datasets_and_loaders)
+from coot_videotext_tpu.data.synthetic import generate_retrieval_dataset
+from coot_videotext_tpu.tasks.retrieval.config import RetrievalConfig
+from coot_videotext_tpu.tasks.retrieval.model_manager import (
+    RetrievalModelManager)
+from coot_videotext_tpu.tasks.retrieval.trainer import RetrievalTrainer
+
+from tests.helpers import retrieval_config_dict
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    overrides = generate_retrieval_dataset(
+        root, num_videos=24, num_val_videos=8, vid_feat_dim=64,
+        text_feat_dim=48, mean_clips=3.0, max_clips=5, seed=0)
+    return root, overrides
+
+
+def make_cfg(overrides, **kwargs):
+    return RetrievalConfig(retrieval_config_dict(overrides, **kwargs))
+
+
+def test_dataset_and_collation(synth_data):
+    root, overrides = synth_data
+    cfg = make_cfg(overrides)
+    train_set, val_set, train_loader, val_loader = \
+        create_retrieval_datasets_and_loaders(cfg, root, seed=0)
+    assert len(train_set) == 24 and len(val_set) == 8
+    batch = next(iter(train_loader))
+    b = cfg.train.batch_size
+    assert batch["vid_feat"].shape[0] == b
+    assert batch["clip_feat"].ndim == 4
+    # masks consistent with lengths
+    assert (batch["vid_mask"].sum(-1) == batch["vid_len"]).all()
+    assert (batch["clip_mask"].sum(-1) == batch["clip_len"]).all()
+    assert (batch["clip_valid"].sum(-1) == batch["clip_num"]).all()
+    # clips and sentences 1:1
+    assert (batch["clip_num"] == batch["sent_num"]).all()
+    assert batch["batch_valid"].all()
+
+
+def test_train_eval_checkpoint_resume(synth_data, tmp_path):
+    root, overrides = synth_data
+    log_dir = str(tmp_path / "experiments")
+    cfg = make_cfg(overrides, num_epochs=2)
+    _, _, train_loader, val_loader = \
+        create_retrieval_datasets_and_loaders(cfg, root, seed=0)
+
+    mgr = RetrievalModelManager(cfg)
+    trainer = RetrievalTrainer(cfg, mgr, "default", "synthtest", "run1",
+                               len(train_loader), log_dir=log_dir)
+    trainer.train_model(train_loader, val_loader)
+    assert trainer.state.current_epoch == 2
+    first_losses = [v for _, v in
+                    trainer.metrics.storage_epoch["val_base/loss"]]
+    assert len(first_losses) == 2
+    assert np.isfinite(first_losses).all()
+    # loss went down on the learnable synthetic data
+    assert first_losses[-1] < first_losses[0] * 1.05
+    ckpts = trainer.exp.get_existing_checkpoints()
+    trainer.close()
+    del trainer, mgr
+
+    # resume for 1 more epoch
+    cfg2 = make_cfg(overrides, num_epochs=3)
+    mgr2 = RetrievalModelManager(cfg2)
+    trainer2 = RetrievalTrainer(cfg2, mgr2, "default", "synthtest", "run1",
+                                len(train_loader), log_dir=log_dir)
+    assert trainer2.load and trainer2.load_ep == max(ckpts)
+    assert trainer2.state.current_epoch == max(ckpts) + 1
+    trainer2.train_model(train_loader, val_loader)
+    assert trainer2.state.current_epoch == 3
+    trainer2.close()
+    del trainer2, mgr2
+
+    # inference-only reload of best epoch
+    cfg3 = make_cfg(overrides, num_epochs=3)
+    mgr3 = RetrievalModelManager(cfg3)
+    trainer3 = RetrievalTrainer(cfg3, mgr3, "default", "synthtest", "run1",
+                                len(train_loader), log_dir=log_dir,
+                                load_best=True, is_test=True)
+    loss, score, _ = trainer3.validate_epoch(val_loader, val_clips=True)
+    assert np.isfinite(loss)
+    assert 0 <= score <= 1
+    trainer3.close()
+
+
+def test_validate_with_embedding_export(synth_data, tmp_path):
+    import h5py
+    root, overrides = synth_data
+    log_dir = str(tmp_path / "experiments")
+    cfg = make_cfg(overrides, num_epochs=1)
+    _, val_set, train_loader, val_loader = \
+        create_retrieval_datasets_and_loaders(cfg, root, seed=0)
+    mgr = RetrievalModelManager(cfg)
+    trainer = RetrievalTrainer(cfg, mgr, "default", "embtest", "run1",
+                               len(train_loader), log_dir=log_dir)
+    trainer.validate_epoch(val_loader, val_clips=True, save_embs=True)
+    emb_file = trainer.exp.path_embeddings / "embeddings_0.h5"
+    assert emb_file.is_file()
+    with h5py.File(emb_file, "r") as h5:
+        n_val = len(val_set)
+        assert h5["vid_emb"].shape[0] == n_val
+        assert h5["par_emb"].shape[0] == n_val
+        total_clips = int(np.sum(h5["clip_num"]))
+        assert h5["clip_emb"].shape[0] == total_clips
+        assert h5["sent_emb"].shape[0] == total_clips
+        assert len(h5["key"]) == n_val
+        # normalized embeddings have unit norm
+        norms = np.linalg.norm(np.asarray(h5["vid_emb"]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    trainer.close()
