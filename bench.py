@@ -80,8 +80,11 @@ def main() -> None:
     cfg_dict["optimizer"]["lr"] = 3.6e-4
     cfg = RetrievalConfig(cfg_dict)
 
-    _, _, train_loader, _ = create_retrieval_datasets_and_loaders(
-        cfg, tmp, seed=0, fixed_shapes=True)
+    train_set, _, train_loader, _ = create_retrieval_datasets_and_loaders(
+        cfg, tmp, seed=0, fixed_shapes=True, device_preload=True)
+    store = train_loader.device_store
+    print(f"device store: {store.nbytes / 1e9:.2f} GB resident in HBM",
+          file=sys.stderr)
 
     mesh = get_mesh()
     n_chips = mesh.devices.size
@@ -95,34 +98,33 @@ def main() -> None:
         mgr.model_train, optimizer, loss_weights=lw,
         margin=cfg.train.contrastive_loss_config.margin,
         loss_cycle_cons=cfg.train.loss_cycle_cons,
-        clip_gradient=-1, mesh=mesh)
+        clip_gradient=-1, mesh=mesh, use_store=True,
+        frames_noise=cfg.dataset_train.frames_noise)
     sharding = batch_sharding(mesh)
     rng = jax.random.PRNGKey(0)
     lr = jnp.float32(3.6e-4)
+    host_step = 0
 
-    # warmup epoch portion: compile all shape buckets
+    # epoch 0 = warmup (compile); epochs 1..N measured whole, no per-step
+    # syncs so the prefetch pipeline runs free
+    clips_per_epoch = sum(len(train_set.meta[k]["segments"])
+                          for k in train_set.keys)
     clips_done = 0
     t_start = None
-    warmup_steps = 0
-    measured_steps = 0
-    for epoch in range(4):
+    n_epochs = 8
+    for epoch in range(n_epochs):
         train_loader.set_epoch(epoch)
         for batch, _meta in prefetch_to_device(train_loader,
                                                sharding=sharding):
             state, metrics = step(state, batch, lr,
-                                  jax.random.fold_in(rng, int(state.step)))
-            n_clips = int(jax.device_get(
-                jnp.sum(batch["clip_num"] * batch["batch_valid"])))
-            if epoch == 0:
-                jax.block_until_ready(state.params)
-                warmup_steps += 1
-                continue
-            if t_start is None:
-                jax.block_until_ready(state.params)
-                t_start = time.perf_counter()
-                continue
-            clips_done += n_clips
-            measured_steps += 1
+                                  jax.random.fold_in(rng, host_step),
+                                  store.vid_store, store.text_store)
+            host_step += 1
+        if epoch == 0:
+            jax.block_until_ready(state.params)
+            t_start = time.perf_counter()
+        else:
+            clips_done += clips_per_epoch
     jax.block_until_ready(state.params)
     elapsed = time.perf_counter() - t_start
     loss = float(jax.device_get(metrics["loss_total"]))

@@ -148,6 +148,40 @@ class RetrievalDataset:
         data_key = self.meta[key]["data_key"]
         return self.vid_feats[data_key][indices]
 
+    def get_indices(self, item: int) -> Dict[str, Any]:
+        """
+        Index-only datapoint for the HBM-resident store path: sampled frame
+        indices (video-relative) instead of feature arrays. Same sampling
+        RNG stream semantics as __getitem__.
+        """
+        key = self.keys[item]
+        vid = self.meta[key]
+        cfg = self.cfg
+        vid_len = min(vid["num_frames_vid"], cfg.max_frames)
+        vid_idx = maths.compute_indices(vid["num_frames_vid"], vid_len,
+                                        self.is_train, rng=self.rng)
+        vid_idx = vid_idx + vid["start_frame_vid"]
+        clip_idx = []
+        for seg in vid["segments"]:
+            c_len = min(seg["num_frames"], cfg.max_frames)
+            cidx = maths.compute_indices(seg["num_frames"], c_len,
+                                         self.is_train, rng=self.rng)
+            clip_idx.append(cidx + seg["start_frame"])
+        sentences = [seg["text"] if seg["text"] is not None else "undefined"
+                     for seg in vid["segments"]]
+        sent_split = self.text_feats.sentence_splits.get(
+            key, self.text_feats.sentence_splits.get(f"v_{key[:11]}"))
+        return {
+            "key": key,
+            "data_key": vid["data_key"],
+            "sentences": sentences,
+            "vid_idx": vid_idx,
+            "clip_idx": clip_idx,
+            "clip_num": len(clip_idx),
+            "par_len": int(sum(sent_split)),
+            "sent_split": list(sent_split),
+        }
+
     def __getitem__(self, item: int) -> Dict[str, Any]:
         key = self.keys[item]
         vid = self.meta[key]
@@ -339,7 +373,8 @@ class RetrievalBatchLoader:
 
     def __init__(self, dataset: RetrievalDataset, batch_size: int, *,
                  shuffle: bool, drop_last: bool = False,
-                 seed: int = 0, fixed_shapes: bool = False) -> None:
+                 seed: int = 0, fixed_shapes: bool = False,
+                 device_store=None) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -348,6 +383,8 @@ class RetrievalBatchLoader:
         self.epoch = 0
         self.fixed_shapes = (dataset.compute_fixed_shapes()
                              if fixed_shapes else None)
+        # HBM-resident store: yield index-only batches (device_store.py)
+        self.device_store = device_store
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -368,18 +405,39 @@ class RetrievalBatchLoader:
             idx = order[start:start + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 return
-            points = [self.dataset[int(i)] for i in idx]
-            yield self.dataset.collate_fn(points,
-                                          batch_size=self.batch_size,
-                                          fixed_shapes=self.fixed_shapes)
+            if self.device_store is not None:
+                points = [self.dataset.get_indices(int(i)) for i in idx]
+                yield self.device_store.collate_indices(
+                    points, batch_size=self.batch_size,
+                    fixed_shapes=self.fixed_shapes)
+            else:
+                points = [self.dataset[int(i)] for i in idx]
+                yield self.dataset.collate_fn(
+                    points, batch_size=self.batch_size,
+                    fixed_shapes=self.fixed_shapes)
+
+
+def estimate_store_bytes(dataset: "RetrievalDataset",
+                         bytes_per_elem: int = 2) -> int:
+    """Estimated size of the full feature set in device memory."""
+    vid = sum(dataset.vid_feats.num_frames.get(k, 0)
+              for k in set(dataset.data_keys)) * \
+        dataset.cfg.vid_feat_dim
+    text = sum(sum(s) for s in
+               dataset.text_feats.sentence_splits.values()) * \
+        dataset.cfg.text_feat_dim
+    return (vid + text) * bytes_per_elem
 
 
 def create_retrieval_datasets_and_loaders(
         cfg, path_data: Union[str, Path], *, seed: int = 0,
-        verbose: bool = False, fixed_shapes: Optional[bool] = None):
+        verbose: bool = False, fixed_shapes: Optional[bool] = None,
+        device_preload: Optional[bool] = None):
     """Factory (reference dataset_retrieval.py:466). `fixed_shapes`
-    defaults to the config knob `pad_fixed_shapes` (True on TPU backends
-    keeps it to one compiled program; None = config/platform default)."""
+    defaults to the config knob `pad_fixed_shapes`. `device_preload`
+    (default: config `preload_device`, "auto" = when it fits) uploads the
+    full feature set to device HBM and switches the loaders to index-only
+    batches (data/device_store.py)."""
     if fixed_shapes is None:
         fixed_shapes = getattr(cfg.dataset_train, "pad_fixed_shapes", False)
     train_rng = np.random.RandomState(seed)
@@ -388,11 +446,28 @@ def create_retrieval_datasets_and_loaders(
                                  verbose=verbose, rng=train_rng)
     val_set = RetrievalDataset(cfg.dataset_val, path_data,
                                verbose=verbose, rng=val_rng)
+
+    if device_preload is None:
+        knob = getattr(cfg.dataset_train, "preload_device", "auto")
+        if knob == "auto":
+            total = (estimate_store_bytes(train_set)
+                     + estimate_store_bytes(val_set))
+            device_preload = total < 6e9
+        else:
+            device_preload = bool(knob)
+    train_store = val_store = None
+    if device_preload:
+        from coot_videotext_tpu.data.device_store import (
+            RetrievalDeviceStore)
+        dtype = getattr(cfg, "compute_dtype", "float32")
+        train_store = RetrievalDeviceStore(train_set, dtype=dtype)
+        val_store = RetrievalDeviceStore(val_set, dtype=dtype)
+
     train_loader = RetrievalBatchLoader(
         train_set, cfg.train.batch_size, shuffle=cfg.dataset_train.shuffle,
         drop_last=cfg.dataset_train.drop_last, seed=seed,
-        fixed_shapes=fixed_shapes)
+        fixed_shapes=fixed_shapes, device_store=train_store)
     val_loader = RetrievalBatchLoader(
         val_set, cfg.val.batch_size, shuffle=False, drop_last=False,
-        seed=seed, fixed_shapes=fixed_shapes)
+        seed=seed, fixed_shapes=fixed_shapes, device_store=val_store)
     return train_set, val_set, train_loader, val_loader

@@ -143,3 +143,95 @@ def _main() -> None:
 
 if __name__ == "__main__":
     _main()
+
+
+def generate_caption_dataset(
+        root: Union[str, Path], *,
+        dset_name: str = "youcook2",
+        coot_model_name: str = "synthcoot",
+        num_videos: int = 16,
+        num_val_videos: int = 8,
+        coot_dim_vid: int = 64,
+        coot_dim_clip: int = 32,
+        mean_sentences: float = 3.0,
+        max_sentences: int = 5,
+        vocab_words: int = 40,
+        seed: int = 0) -> Dict[str, str]:
+    """
+    Create a synthetic captioning setup: annotation jsons
+    (captioning_train/val.json + *_para.json GT + mart_word2idx.json) under
+    root/annotations/<dset>/ and a COOT-embedding h5 (the retrieval
+    trainer's export schema) under root/provided_embeddings/. Captions are
+    drawn from a small vocabulary correlated with the clip latent so the
+    model can learn.
+    """
+    rng = np.random.RandomState(seed)
+    ann_dir = Path(root) / "annotations" / dset_name
+    emb_dir = Path(root) / "provided_embeddings"
+    ann_dir.mkdir(parents=True, exist_ok=True)
+    emb_dir.mkdir(parents=True, exist_ok=True)
+
+    words = [f"word{i}" for i in range(vocab_words)]
+    word2idx = {"[PAD]": 0, "[CLS]": 1, "[SEP]": 2, "[VID]": 3,
+                "[BOS]": 4, "[EOS]": 5, "[UNK]": 6}
+    for w in words + ["the", "a", "person", "adds", "cuts", "."]:
+        word2idx.setdefault(w, len(word2idx))
+    (ann_dir / "mart_word2idx.json").write_text(json.dumps(word2idx),
+                                                encoding="utf8")
+
+    def make_split(n, split, offset):
+        data = {}
+        keys, clip_nums = [], []
+        vid_embs, ctx_embs, clip_embs = [], [], []
+        for i in range(n):
+            vid = f"synthvid{offset + i:04d}"
+            n_sen = int(np.clip(rng.poisson(mean_sentences - 1) + 1, 1,
+                                max_sentences))
+            duration = 20.0 * n_sen
+            bounds = np.linspace(0, duration, n_sen + 1)
+            timestamps = [[float(bounds[j]), float(bounds[j + 1])]
+                          for j in range(n_sen)]
+            latents = rng.randn(n_sen, 8).astype(np.float32)
+            sentences = []
+            for j in range(n_sen):
+                picks = [words[int(abs(latents[j, k]) * 7) % vocab_words]
+                         for k in range(4)]
+                sentences.append("the person " + " ".join(picks) + " .")
+            data[vid] = {"duration": duration,
+                         "timestamps": timestamps,
+                         "sentences": sentences}
+            keys.append(vid)
+            clip_nums.append(n_sen)
+            proj_v = rng.randn(8, coot_dim_vid).astype(np.float32) / 3
+            proj_c = rng.randn(8, coot_dim_clip).astype(np.float32) / 3
+            vid_embs.append(latents.mean(0) @ proj_v)
+            ctx_embs.append(latents.mean(0) @ proj_c)
+            for j in range(n_sen):
+                clip_embs.append(latents[j] @ proj_c)
+        ann_name = ("captioning_train.json" if split == "train"
+                    else "captioning_val.json")
+        (ann_dir / ann_name).write_text(json.dumps(data), encoding="utf8")
+        if split == "val":
+            para = {k: " ".join(v["sentences"]).replace(" .", ".")
+                    for k, v in data.items()}
+            (ann_dir / "captioning_val_para.json").write_text(
+                json.dumps(para), encoding="utf8")
+        with h5py.File(emb_dir / f"{coot_model_name}_{split}.h5",
+                       "w") as h5:
+            h5["key"] = keys
+            h5["clip_num"] = np.asarray(clip_nums, np.int64)
+            h5["vid_emb"] = np.stack(vid_embs)
+            h5["vid_context"] = np.stack(ctx_embs)
+            h5["clip_emb"] = np.stack(clip_embs)
+        return data
+
+    make_split(num_videos, "train", 0)
+    make_split(num_val_videos, "val", num_videos)
+    return {
+        "annotations_dir": str(Path(root) / "annotations"),
+        "coot_feat_dir": str(emb_dir),
+        "coot_model_name": coot_model_name,
+        "coot_dim_vid": coot_dim_vid,
+        "coot_dim_clip": coot_dim_clip,
+        "vocab_size": len(word2idx),
+    }

@@ -1,0 +1,116 @@
+"""
+Caption model factory + manager.
+
+Port of reference mart/model.py:45 create_mart_model and
+mart/trainer_caption.py:89 MartModelManager: dispatches to the model family
+by config flags, optionally loads GloVe word-embedding vectors from the
+cache (reference :79-85), and owns parameter init in the configured
+compute dtype.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coot_videotext_tpu.models.caption.mart import (
+    NonRecurTransformer, RecursiveTransformer)
+
+
+def load_glove_matrix(cache_dir: str, dataset_name: str) -> np.ndarray:
+    """Load `<dset>_vocab_glove.pt` (a torch-saved float array)."""
+    import torch
+    path = Path(cache_dir) / f"{dataset_name}_vocab_glove.pt"
+    arr = torch.load(str(path), map_location="cpu")
+    if hasattr(arr, "numpy"):
+        arr = arr.numpy()
+    return np.asarray(arr, np.float32)
+
+
+def create_mart_model(cfg, vocab_size: int, *,
+                      cache_dir: str = "cache_caption",
+                      dataset_name: Optional[str] = None,
+                      compute_dtype=jnp.float32, verbose: bool = True):
+    """Build the flax caption model for this config (reference :45)."""
+    cfg.max_position_embeddings = cfg.max_v_len + cfg.max_t_len
+    cfg.vocab_size = vocab_size
+    if cfg.recurrent:
+        if cfg.xl:
+            raise NotImplementedError(
+                "TransformerXL variant lands with models/caption/xl.py")
+        model = RecursiveTransformer(cfg, compute_dtype)
+    else:
+        if cfg.untied:
+            raise NotImplementedError(
+                "untied variant lands with models/caption/untied.py")
+        if cfg.mtrans:
+            raise NotImplementedError(
+                "masked transformer variant lands with "
+                "models/caption/mtransformer.py")
+        model = NonRecurTransformer(cfg, compute_dtype)
+    return model
+
+
+class MartModelManager:
+    """Owns the flax module + parameter lifecycle for one caption model."""
+
+    def __init__(self, cfg, model) -> None:
+        self.cfg = cfg
+        self.model = model
+        self.was_loaded = False
+
+    def init_params(self, seed: int, sample_batch: Dict[str, Any]):
+        rng = jax.random.PRNGKey(seed)
+        variables = self.model.init(
+            {"params": rng, "dropout": rng},
+            sample_batch["input_ids"], sample_batch["video_feature"],
+            sample_batch["input_mask"], sample_batch["token_type_ids"],
+            sample_batch["input_labels"], deterministic=True)
+        params = variables["params"]
+        if self.cfg.use_glove:
+            params = self.apply_glove(params)
+        return params
+
+    def apply_glove(self, params):
+        """Replace word embeddings with GloVe vectors (reference :79-85).
+        freeze_glove is handled by the optimizer mask."""
+        try:
+            glove = load_glove_matrix("cache_caption",
+                                      self.cfg.dataset_train.name)
+        except (FileNotFoundError, OSError):
+            return params  # cache not present; keep random init
+        emb = params["embeddings"]["word_embeddings"]["embedding"]
+        if glove.shape != emb.shape:
+            return params
+        params = jax.tree_util.tree_map(lambda x: x, params)  # copy
+        params["embeddings"]["word_embeddings"]["embedding"] = \
+            jnp.asarray(glove)
+        return params
+
+    @staticmethod
+    def count_parameters(params) -> int:
+        return sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+
+
+def build_dummy_caption_batch(cfg, vocab_size: int, batch_size: int = 2,
+                              step_size: int = 2) -> Dict[str, Any]:
+    """Tiny stacked batch for parameter init."""
+    s, n = step_size, batch_size
+    length = cfg.max_v_len + cfg.max_t_len
+    rng = np.random.RandomState(0)
+    return {
+        "input_ids": rng.randint(0, vocab_size, (s, n, length)).astype(
+            np.int32),
+        "input_labels": np.full((s, n, length), -1, np.int32),
+        "input_mask": np.ones((s, n, length), np.float32),
+        "token_type_ids": np.concatenate(
+            [np.zeros((s, n, cfg.max_v_len), np.int32),
+             np.ones((s, n, cfg.max_t_len), np.int32)], axis=-1),
+        "video_feature": rng.randn(
+            s, n, length, cfg.video_feature_size).astype(np.float32),
+    }

@@ -139,6 +139,11 @@ class RetrievalDatasetConfig(trainer_configs.BaseDatasetConfig):
         # compile); False: per-batch bucketed shapes (a handful of compiles,
         # less padding compute)
         self.pad_fixed_shapes: bool = config.pop("pad_fixed_shapes", False)
+        # HBM-resident feature store: "auto" uploads the whole feature set
+        # to device memory when it fits (<6GB) and ships only gather
+        # indices per batch; true/false force. The TPU-native analog of the
+        # reference's RAM preload.
+        self.preload_device = config.pop("preload_device", "auto")
         assert self.data_type == ExperimentTypesConst.RETRIEVAL
         assert self.frames_noise >= 0 and self.words_noise >= 0
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from coot_videotext_tpu.parallel.mesh import (
-    batch_sharding, replicated_sharding)
+    batch_sharding, donate_argnums_for, replicated_sharding)
 from coot_videotext_tpu.train.losses import (
     compute_total_retrieval_loss, l2_normalize)
 from coot_videotext_tpu.train.optim import (
@@ -42,10 +42,15 @@ def make_retrieval_train_step(
         model, optimizer: Optimizer, *,
         loss_weights: Dict[str, float], margin: float,
         loss_cycle_cons: float, clip_gradient: float = -1.0,
-        mesh=None) -> Callable:
+        mesh=None, use_store: bool = False,
+        frames_noise: float = 0.0, words_noise: float = 0.0) -> Callable:
     """
     Build the jitted train step:
         step(state, batch, lr, rng) -> (new_state, metrics)
+    or, with use_store (HBM-resident features, data/device_store.py):
+        step(state, batch, lr, rng, vid_store, text_store) -> same —
+    the batch then carries int32 gather indices and the dense features are
+    materialized on device (with on-device truncnorm feature noise).
 
     metrics holds the loss parts (loss_total/loss_contrastive/loss_cc/...)
     and, when clip_gradient > 0, the pre-clip grad norm (the reference only
@@ -53,9 +58,16 @@ def make_retrieval_train_step(
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
-                lr: jnp.ndarray, rng: jax.Array
+                lr: jnp.ndarray, rng: jax.Array,
+                vid_store=None, text_store=None
                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        rng_dropout, rng_cc = jax.random.split(rng)
+        rng_dropout, rng_cc, rng_noise = jax.random.split(rng, 3)
+        if use_store:
+            from coot_videotext_tpu.data.device_store import (
+                gather_dense_batch)
+            batch = gather_dense_batch(
+                batch, vid_store, text_store, frames_noise=frames_noise,
+                words_noise=words_noise, rng=rng_noise)
 
         def loss_fn(params):
             out = model.apply({"params": params}, batch,
@@ -88,27 +100,37 @@ def make_retrieval_train_step(
         return jax.jit(step_fn, donate_argnums=(0,))
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    shardings = [rep, data, rep, rep]
+    if use_store:
+        shardings += [rep, rep]  # stores replicated across the mesh
     return jax.jit(
         step_fn,
-        in_shardings=(rep, data, rep, rep),
+        in_shardings=tuple(shardings),
         out_shardings=(rep, rep),
-        donate_argnums=(0,))
+        donate_argnums=donate_argnums_for(mesh))
 
 
 def make_retrieval_eval_step(model, *, loss_weights: Dict[str, float],
                              margin: float, loss_cycle_cons: float,
-                             mesh=None) -> Callable:
+                             mesh=None, use_store: bool = False) -> Callable:
     """
     Build the jitted eval step:
         eval_step(params, batch, rng) -> (embeddings dict, loss parts)
+    (+ trailing (vid_store, text_store) args with use_store; no feature
+    noise at eval, matching the reference's train-only noise).
 
     Embeddings come back both raw and L2-normalized (reference
     trainer_retrieval.py:382-402 collects raw then normalizes manually on
     host; here both live on device).
     """
 
-    def eval_fn(params, batch: Dict[str, jnp.ndarray], rng: jax.Array
+    def eval_fn(params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                vid_store=None, text_store=None
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        if use_store:
+            from coot_videotext_tpu.data.device_store import (
+                gather_dense_batch)
+            batch = gather_dense_batch(batch, vid_store, text_store)
         out = model.apply({"params": params}, batch, deterministic=True)
         visual = {k: out[k] for k in
                   ("vid_emb", "clip_emb", "vid_context", "clip_valid",
@@ -143,7 +165,10 @@ def make_retrieval_eval_step(model, *, loss_weights: Dict[str, float],
         return jax.jit(eval_fn)
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
-    return jax.jit(eval_fn, in_shardings=(rep, data, rep),
+    shardings = [rep, data, rep]
+    if use_store:
+        shardings += [rep, rep]
+    return jax.jit(eval_fn, in_shardings=tuple(shardings),
                    out_shardings=(data, rep))
 
 

@@ -16,7 +16,7 @@ are the execution model, not semantics:
 from __future__ import annotations
 
 from timeit import default_timer as timer
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import h5py
 import jax
@@ -90,19 +90,35 @@ class RetrievalTrainer(BaseTrainer):
             f"Model: {model_mgr.count_parameters(params):,} parameters")
         self._root_rng = jax.random.PRNGKey(seed)
 
-        # jitted steps
-        lw = cfg.train.contrastive_loss_config.as_dict()
-        margin = cfg.train.contrastive_loss_config.margin
-        self._train_step = make_retrieval_train_step(
-            model_mgr.model_train, self.optimizer, loss_weights=lw,
-            margin=margin, loss_cycle_cons=cfg.train.loss_cycle_cons,
-            clip_gradient=cfg.train.clip_gradient, mesh=self.mesh)
-        self._eval_step = make_retrieval_eval_step(
-            model_mgr.model_eval, loss_weights=lw, margin=margin,
-            loss_cycle_cons=cfg.train.loss_cycle_cons, mesh=self.mesh)
+        # jitted steps, built lazily per data path (dense vs HBM store)
+        self._loss_weights = cfg.train.contrastive_loss_config.as_dict()
+        self._margin = cfg.train.contrastive_loss_config.margin
+        self._train_steps: Dict[bool, Any] = {}
+        self._eval_steps: Dict[bool, Any] = {}
         self._data_sharding = batch_sharding(self.mesh)
 
         self.hook_post_init()
+
+    def _get_train_step(self, use_store: bool):
+        if use_store not in self._train_steps:
+            self._train_steps[use_store] = make_retrieval_train_step(
+                self.model_mgr.model_train, self.optimizer,
+                loss_weights=self._loss_weights, margin=self._margin,
+                loss_cycle_cons=self.cfg.train.loss_cycle_cons,
+                clip_gradient=self.cfg.train.clip_gradient,
+                mesh=self.mesh, use_store=use_store,
+                frames_noise=self.cfg.dataset_train.frames_noise,
+                words_noise=self.cfg.dataset_train.words_noise)
+        return self._train_steps[use_store]
+
+    def _get_eval_step(self, use_store: bool):
+        if use_store not in self._eval_steps:
+            self._eval_steps[use_store] = make_retrieval_eval_step(
+                self.model_mgr.model_eval, loss_weights=self._loss_weights,
+                margin=self._margin,
+                loss_cycle_cons=self.cfg.train.loss_cycle_cons,
+                mesh=self.mesh, use_store=use_store)
+        return self._eval_steps[use_store]
 
     # ---------- state accessors for checkpointing ----------
 
@@ -126,6 +142,10 @@ class RetrievalTrainer(BaseTrainer):
 
     def train_model(self, train_loader, val_loader) -> None:
         self.hook_pre_train()
+        store = getattr(train_loader, "device_store", None)
+        train_step = self._get_train_step(store is not None)
+        store_args = ((store.vid_store, store.text_store)
+                      if store is not None else ())
         for _epoch in range(self.state.current_epoch,
                             self.cfg.train.num_epochs):
             if self.check_early_stop():
@@ -137,10 +157,11 @@ class RetrievalTrainer(BaseTrainer):
                     train_loader, sharding=self._data_sharding)):
                 self.hook_pre_step_timer()
                 rng = jax.random.fold_in(self._root_rng,
-                                         int(self.train_state.step))
+                                         self.state.total_step)
                 lr = self.lr_scheduler.current_lr
-                self.train_state, metrics = self._train_step(
-                    self.train_state, batch, jnp.float32(lr), rng)
+                self.train_state, metrics = train_step(
+                    self.train_state, batch, jnp.float32(lr), rng,
+                    *store_args)
                 # the jitted step covers forward+backward+update; attribute
                 # it to the forward timer (backward meter stays 0)
                 metrics = jax.device_get(metrics)
@@ -183,11 +204,15 @@ class RetrievalTrainer(BaseTrainer):
         num_steps = 0
         rng = jax.random.PRNGKey(42)
 
+        store = getattr(val_loader, "device_store", None)
+        eval_step = self._get_eval_step(store is not None)
+        store_args = ((store.vid_store, store.text_store)
+                      if store is not None else ())
         for batch, meta in prefetch_to_device(
                 val_loader, sharding=self._data_sharding):
             t0 = timer()
-            embs, parts = self._eval_step(self.train_state.params, batch,
-                                          rng)
+            embs, parts = eval_step(self.train_state.params, batch,
+                                    rng, *store_args)
             embs = jax.device_get(embs)
             parts = jax.device_get(parts)
             forward_time_total += timer() - t0

@@ -49,14 +49,17 @@ class BaseTrainer:
                  *, load_model: Optional[str] = None, load_best: bool = False,
                  load_epoch: Optional[int] = None, reset: bool = False,
                  is_test: bool = False,
-                 log_dir: str = TrainerPathConst.DIR_EXPERIMENTS) -> None:
+                 log_dir: str = TrainerPathConst.DIR_EXPERIMENTS,
+                 exp_files_handler: Optional[ExperimentFilesHandler] = None
+                 ) -> None:
         self.cfg = cfg
         self.model_mgr = model_mgr
         self.is_test = is_test
 
-        # experiment files + logging
-        self.exp = ExperimentFilesHandler(model_type, exp_group, exp_name,
-                                          run_name, log_dir=log_dir)
+        # experiment files + logging (subclasses may pass a custom handler,
+        # e.g. MartFilesHandler with the caption/ dir)
+        self.exp = exp_files_handler or ExperimentFilesHandler(
+            model_type, exp_group, exp_name, run_name, log_dir=log_dir)
         self.exp.setup_dirs(reset=reset)
         self.logger = create_logger(LOGGER_NAME, log_dir=self.exp.path_logs)
         self.logger.info(

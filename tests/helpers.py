@@ -132,3 +132,64 @@ def retrieval_config_dict(dataset_overrides: Dict[str, Any], *,
         "cudnn_deterministic": False, "cuda_non_blocking": True,
         "fp16_train": False, "fp16_val": False,
     }
+
+
+def caption_config_dict(overrides, *, batch_size: int = 4,
+                        num_epochs: int = 2):
+    """Full MART experiment config dict shaped like the reference yamls
+    (config/caption/paper2020/yc2_100m_coot_vidclip_mart.yaml), tiny."""
+    cfg = {
+        "description": "synthetic caption test",
+        "config_type": "mart",
+        "train": {"batch_size": batch_size, "num_epochs": num_epochs,
+                  "loss_func": "crossentropy", "clip_gradient": 1},
+        "label_smoothing": 0.1,
+        "val": {"batch_size": batch_size, "val_freq": 1, "val_start": 0,
+                "det_best_field": "cider",
+                "det_best_compare_mode": "max",
+                "det_best_threshold_mode": "rel",
+                "det_best_threshold_value": 1e-4,
+                "det_best_terminate_after": 10},
+        "save_mode": "best",
+        "use_beam": False, "beam_size": 2, "n_best": 1,
+        "min_sen_len": 5, "max_sen_len": 30, "block_ngram_repeat": 0,
+        "length_penalty_name": "none", "length_penalty_alpha": 0.0,
+        "dataset_train": {
+            "name": "youcook2", "data_type": "auto", "subset": "default",
+            "split": "train", "max_datapoints": -1, "shuffle": True,
+            "pin_memory": True, "num_workers": 0, "drop_last": False,
+            "preload": False},
+        "dataset_val": {
+            "name": "youcook2", "data_type": "auto", "subset": "default",
+            "split": "val", "max_datapoints": -1, "shuffle": False,
+            "pin_memory": True, "num_workers": 0, "drop_last": False,
+            "preload": False},
+        "max_n_sen": 5, "max_n_sen_add_val": 2,
+        "max_t_len": 12, "max_v_len": 3,
+        "type_vocab_size": 2, "word_vec_size": 32,
+        "coot_model_name": "synthcoot",
+        "coot_dim_clip": 32, "coot_dim_vid": 64,
+        "coot_mode": "vidclip", "video_feature_size": 96,
+        "random_seed": 0, "use_cuda": True, "debug": False,
+        "cudnn_enabled": True, "cudnn_benchmark": True,
+        "cudnn_deterministic": False, "use_multi_gpu": False,
+        "cuda_non_blocking": True, "fp16_train": False,
+        "fp16_val": False,
+        "attention_probs_dropout_prob": 0.1,
+        "hidden_dropout_prob": 0.1,
+        "hidden_size": 32, "intermediate_size": 32,
+        "layer_norm_eps": 1e-12, "memory_dropout_prob": 0.1,
+        "num_attention_heads": 4, "num_hidden_layers": 2,
+        "n_memory_cells": 1, "share_wd_cls_weight": False,
+        "recurrent": True, "untied": False, "mtrans": False,
+        "xl": False, "xl_grad": False,
+        "use_glove": False, "freeze_glove": False,
+        "ema_decay": 0.9999, "initializer_range": 0.02,
+        "lr": 1e-3, "lr_warmup_proportion": 0.1,
+        "logging": {"step_train": 5, "step_val": 5, "step_gpu": -1,
+                    "step_gpu_once": 10},
+        "saving": {"keep_freq": -1, "save_last": True, "save_best": True,
+                   "save_opt_state": True},
+    }
+    cfg.update(overrides)
+    return cfg

@@ -1,0 +1,132 @@
+"""
+End-to-end MART captioning tests on synthetic data over the CPU mesh:
+annotation load -> stacked-step collation -> recursive memory transformer ->
+BertAdam/EMA train step -> greedy translation -> native caption metrics ->
+checkpoint/resume.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from coot_videotext_tpu.data.caption_dataset import (
+    create_mart_datasets_and_loaders)
+from coot_videotext_tpu.data.synthetic import generate_caption_dataset
+from coot_videotext_tpu.tasks.caption.config import MartConfig
+from coot_videotext_tpu.tasks.caption.model_manager import (
+    MartModelManager, create_mart_model)
+from coot_videotext_tpu.tasks.caption.trainer import MartTrainer
+
+from tests.helpers import caption_config_dict
+
+
+@pytest.fixture(scope="module")
+def synth_caption(tmp_path_factory):
+    root = tmp_path_factory.mktemp("capdata")
+    overrides = generate_caption_dataset(
+        root, num_videos=12, num_val_videos=6, coot_dim_vid=64,
+        coot_dim_clip=32, mean_sentences=2.5, max_sentences=4, seed=0)
+    return root, overrides
+
+
+def make_setup(overrides, **kwargs):
+    kwargs.setdefault("batch_size", 8)
+    cfg = MartConfig(caption_config_dict({}, **kwargs))
+    train_set, val_set, train_loader, val_loader = \
+        create_mart_datasets_and_loaders(
+            cfg, overrides["coot_feat_dir"], overrides["annotations_dir"],
+            "unused_video_feature_dir", seed=0)
+    return cfg, train_set, val_set, train_loader, val_loader
+
+
+def test_caption_dataset_and_collation(synth_caption):
+    root, overrides = synth_caption
+    cfg, train_set, val_set, train_loader, val_loader = \
+        make_setup(overrides)
+    assert len(train_set) == 12 and len(val_set) == 6
+    stacked, step_sizes, metas = next(iter(train_loader))
+    s, n, length = stacked["input_ids"].shape
+    assert length == cfg.max_v_len + cfg.max_t_len
+    assert n == cfg.train.batch_size
+    assert s >= max(step_sizes)
+    assert stacked["video_feature"].shape == (
+        s, n, length, cfg.video_feature_size)
+    # labels on video positions are IGNORE
+    assert (stacked["input_labels"][:, :, :cfg.max_v_len] == -1).all()
+    # token types: 0 on video, 1 on text
+    assert (stacked["token_type_ids"][:, :, :cfg.max_v_len] == 0).all()
+    assert (stacked["token_type_ids"][:, :, cfg.max_v_len:] == 1).all()
+    # dummy steps have all-IGNORE labels
+    for i, sz in enumerate(step_sizes):
+        for step in range(sz, s):
+            assert (stacked["input_labels"][step, i] == -1).all()
+
+
+def test_caption_train_translate_checkpoint(synth_caption, tmp_path):
+    root, overrides = synth_caption
+    log_dir = str(tmp_path / "experiments")
+    cfg, train_set, val_set, train_loader, val_loader = \
+        make_setup(overrides, num_epochs=2)
+    model = create_mart_model(cfg, len(train_set.word2idx),
+                              verbose=False)
+    mgr = MartModelManager(cfg, model)
+    trainer = MartTrainer(cfg, mgr, "default", "capsynth", "run1",
+                          len(train_loader), log_dir=log_dir,
+                          annotations_dir=overrides["annotations_dir"])
+    trainer.train_model(train_loader, val_loader)
+    assert trainer.state.current_epoch == 2
+
+    # translation file written with the reference submission schema
+    transl = trainer.exp.get_translation_files(1, "val")
+    assert transl.is_file()
+    res = json.loads(transl.read_text(encoding="utf8"))
+    assert "results" in res and len(res["results"]) == len(val_set)
+    one = next(iter(res["results"].values()))
+    assert {"sentence", "timestamp", "gt_sentence"} <= set(one[0])
+
+    # caption metrics computed and finite (meteor may be -999)
+    cider = [v for _, v in trainer.metrics.storage_epoch["cap/cid"]]
+    bleu4 = [v for _, v in trainer.metrics.storage_epoch["cap/b4"]]
+    assert len(cider) == 2 and np.isfinite(cider).all()
+    assert all(0 <= b <= 1 for b in bleu4)
+    # cleanup keeps best+last (epoch 0 deleted when 1 is best and last)
+    ckpts = trainer.exp.get_existing_checkpoints()
+    assert ckpts and ckpts[-1] == 1
+    trainer.close()
+    del trainer, mgr, model
+
+    # resume + EMA continues
+    cfg2, _, _, train_loader2, val_loader2 = make_setup(overrides,
+                                                        num_epochs=3)
+    model2 = create_mart_model(cfg2, len(train_set.word2idx),
+                               verbose=False)
+    mgr2 = MartModelManager(cfg2, model2)
+    trainer2 = MartTrainer(cfg2, mgr2, "default", "capsynth", "run1",
+                           len(train_loader2), log_dir=log_dir,
+                           annotations_dir=overrides["annotations_dir"])
+    assert trainer2.load and trainer2.state.current_epoch == 2
+    assert trainer2.train_state.ema is not None
+    trainer2.train_model(train_loader2, val_loader2)
+    assert trainer2.state.current_epoch == 3
+    trainer2.close()
+
+
+def test_caption_metrics_native():
+    """Sanity of the native BLEU/ROUGE/CIDEr on a perfect prediction."""
+    from coot_videotext_tpu.tasks.caption.metrics.bleu import Bleu
+    from coot_videotext_tpu.tasks.caption.metrics.cider import Cider
+    from coot_videotext_tpu.tasks.caption.metrics.rouge import Rouge
+    gts = {0: ["the cat sits on the mat"], 1: ["a dog runs fast"]}
+    res = {0: ["the cat sits on the mat"], 1: ["a dog runs fast"]}
+    bleu, _ = Bleu(4).compute_score(gts, res)
+    assert all(b > 0.99 for b in bleu)
+    rouge, _ = Rouge().compute_score(gts, res)
+    assert rouge > 0.99
+    cider, _ = Cider().compute_score(gts, res)
+    assert cider > 9.0  # CIDEr scale x10
+
+    res_bad = {0: ["completely unrelated words here"],
+               1: ["nothing matches at all"]}
+    bleu_bad, _ = Bleu(4).compute_score(gts, res_bad)
+    assert bleu_bad[3] < 0.1

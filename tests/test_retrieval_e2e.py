@@ -35,8 +35,10 @@ def make_cfg(overrides, **kwargs):
 def test_dataset_and_collation(synth_data):
     root, overrides = synth_data
     cfg = make_cfg(overrides)
+    # dense path (no device store)
     train_set, val_set, train_loader, val_loader = \
-        create_retrieval_datasets_and_loaders(cfg, root, seed=0)
+        create_retrieval_datasets_and_loaders(cfg, root, seed=0,
+                                              device_preload=False)
     assert len(train_set) == 24 and len(val_set) == 8
     batch = next(iter(train_loader))
     b = cfg.train.batch_size
@@ -49,6 +51,43 @@ def test_dataset_and_collation(synth_data):
     # clips and sentences 1:1
     assert (batch["clip_num"] == batch["sent_num"]).all()
     assert batch["batch_valid"].all()
+
+
+def test_device_store_collation_matches_dense(synth_data):
+    """The HBM-store index batch gathers to the same features as the
+    dense collation (same sampling RNG stream)."""
+    import jax
+    from coot_videotext_tpu.data.device_store import (
+        RetrievalDeviceStore, gather_dense_batch)
+    root, overrides = synth_data
+    cfg = make_cfg(overrides)
+    _, _, loader_a, _ = create_retrieval_datasets_and_loaders(
+        cfg, root, seed=0, device_preload=False)
+    _, _, loader_b, _ = create_retrieval_datasets_and_loaders(
+        cfg, root, seed=0, device_preload=True)
+    store = loader_b.device_store
+    assert store is not None and store.nbytes > 0
+    dense = next(iter(loader_a))
+    idx_batch = next(iter(loader_b))
+    assert "vid_idx" in idx_batch and "vid_feat" not in idx_batch
+    gathered = gather_dense_batch(
+        jax.device_put({k: v for k, v in idx_batch.items()
+                        if not isinstance(v, list)}),
+        store.vid_store, store.text_store)
+    # compare only valid (unmasked) positions: padded gather slots point
+    # at row 0 and are masked out downstream
+    vm = dense["vid_mask"][..., None]
+    np.testing.assert_allclose(
+        np.asarray(gathered["vid_feat"], np.float32) * vm,
+        dense["vid_feat"] * vm, rtol=1e-2, atol=1e-2)
+    cm = dense["clip_mask"][..., None]
+    np.testing.assert_allclose(
+        np.asarray(gathered["clip_feat"], np.float32) * cm,
+        dense["clip_feat"] * cm, rtol=1e-2, atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(gathered["vid_mask"]),
+                                  dense["vid_mask"])
+    np.testing.assert_array_equal(np.asarray(gathered["clip_valid"]),
+                                  dense["clip_valid"])
 
 
 def test_train_eval_checkpoint_resume(synth_data, tmp_path):
