@@ -298,7 +298,13 @@ class RecursiveCaptionDataset:
             raise NotImplementedError(
                 f"Unknown: opt.vtmode = {self.coot_mode}")
         valid_l = 1
-        assert valid_l == max_v_l, f"valid {valid_l} max {max_v_l}"
+        # NOTE the reference asserts valid_l == max_v_l
+        # (recursive_caption_dataset.py:539), which only holds for the
+        # joint layout (max_v_l = max_v_len - 2 = 1); its untied/mtrans +
+        # COOT path (max_v_l = max_v_len = 3) would crash on that assert —
+        # a latent reference bug. Here extra rows stay zero and the untied
+        # caller masks them out.
+        assert valid_l <= max_v_l, f"valid {valid_l} max {max_v_l}"
         return feat, valid_l
 
     def _load_indexed_video_feature(self, raw_feat, timestamp, frm2sec,
@@ -345,7 +351,7 @@ class RecursiveCaptionDataset:
         if self.data_type == DataTypesConstCaption.COOT_EMB:
             feat, valid_l = self._get_vt_features(raw_feat, clip_idx,
                                                   max_v_l)
-            return feat, [1] * max_v_l
+            return feat, [1] * valid_l + [0] * (max_v_l - valid_l)
         feat_len = len(raw_feat)
         st, ed = self._convert_to_feat_index_st_ed(feat_len, timestamp,
                                                    frm2sec)
@@ -526,10 +532,19 @@ class RecursiveCaptionDataset:
                  + [False] * (n - n_real) for step in range(s)], bool)
             return stacked, step_sizes, batch_meta
 
-        # single sentence / untied
+        # single sentence / untied; pad short batches with IGNORE dummies
         batch_meta = [{"name": e[1]["name"], "timestamp": e[1]["timestamp"],
                        "gt_sentence": e[1]["sentence"]} for e in batch]
         examples = [e[0] for e in batch]
+        n_real = len(examples)
+        n = batch_size if batch_size is not None else n_real
+        label_key = ("text_labels" if "text_labels" in examples[0]
+                     else "input_labels")
+        for _ in range(n - n_real):
+            dummy = dict(examples[0])
+            dummy[label_key] = np.full_like(examples[0][label_key],
+                                            IGNORE)
+            examples.append(dummy)
         collated: Dict[str, Any] = {}
         for key, value in examples[0].items():
             if isinstance(value, np.ndarray):

@@ -40,18 +40,21 @@ def create_mart_model(cfg, vocab_size: int, *,
     cfg.vocab_size = vocab_size
     if cfg.recurrent:
         if cfg.xl:
-            raise NotImplementedError(
-                "TransformerXL variant lands with models/caption/xl.py")
-        model = RecursiveTransformer(cfg, compute_dtype)
+            from coot_videotext_tpu.models.caption.xl import TransformerXL
+            model = TransformerXL(cfg, compute_dtype)
+        else:
+            model = RecursiveTransformer(cfg, compute_dtype)
     else:
         if cfg.untied:
-            raise NotImplementedError(
-                "untied variant lands with models/caption/untied.py")
-        if cfg.mtrans:
-            raise NotImplementedError(
-                "masked transformer variant lands with "
-                "models/caption/mtransformer.py")
-        model = NonRecurTransformer(cfg, compute_dtype)
+            from coot_videotext_tpu.models.caption.untied import (
+                NonRecurTransformerUntied)
+            model = NonRecurTransformerUntied(cfg, compute_dtype)
+        elif cfg.mtrans:
+            from coot_videotext_tpu.models.caption.mtransformer import (
+                MTransformer)
+            model = MTransformer(cfg, compute_dtype)
+        else:
+            model = NonRecurTransformer(cfg, compute_dtype)
     return model
 
 
@@ -113,4 +116,36 @@ def build_dummy_caption_batch(cfg, vocab_size: int, batch_size: int = 2,
              np.ones((s, n, cfg.max_t_len), np.int32)], axis=-1),
         "video_feature": rng.randn(
             s, n, length, cfg.video_feature_size).astype(np.float32),
+    }
+
+
+def build_dummy_caption_batch_single(cfg, vocab_size: int,
+                                     batch_size: int = 2,
+                                     untied: bool = False
+                                     ) -> Dict[str, Any]:
+    """Tiny single-sentence batch (untied or joint layout) for init."""
+    n = batch_size
+    rng = np.random.RandomState(0)
+    if untied:
+        return {
+            "video_feature": rng.randn(
+                n, cfg.max_v_len, cfg.video_feature_size).astype(
+                np.float32),
+            "video_mask": np.ones((n, cfg.max_v_len), np.float32),
+            "text_ids": rng.randint(0, vocab_size,
+                                    (n, cfg.max_t_len)).astype(np.int32),
+            "text_mask": np.ones((n, cfg.max_t_len), np.float32),
+            "text_labels": np.full((n, cfg.max_t_len), -1, np.int64),
+        }
+    length = cfg.max_v_len + cfg.max_t_len
+    return {
+        "input_ids": rng.randint(0, vocab_size, (n, length)).astype(
+            np.int32),
+        "input_labels": np.full((n, length), -1, np.int64),
+        "input_mask": np.ones((n, length), np.float32),
+        "token_type_ids": np.concatenate(
+            [np.zeros((n, cfg.max_v_len), np.int32),
+             np.ones((n, cfg.max_t_len), np.int32)], axis=-1),
+        "video_feature": rng.randn(
+            n, length, cfg.video_feature_size).astype(np.float32),
     }

@@ -85,9 +85,6 @@ class MartTrainer(BaseTrainer):
                  load_model: Optional[str] = None, load_best: bool = False,
                  load_epoch: Optional[int] = None, reset: bool = False,
                  is_test: bool = False) -> None:
-        assert cfg.recurrent and not cfg.xl, (
-            "this trainer currently drives the recurrent MART model; "
-            "XL/untied/mtrans wire up with their model variants")
         files_handler = MartFilesHandler(
             exp_group, exp_name, run_name, log_dir=log_dir,
             annotations_dir=annotations_dir)
@@ -118,11 +115,24 @@ class MartTrainer(BaseTrainer):
         self.lr_scheduler = None  # schedule computed inline (warmup_linear)
 
         # params + state
+        self._recurrent = cfg.recurrent
+        self._untied = cfg.untied or cfg.mtrans
         seed = cfg.random_seed if cfg.random_seed is not None else 0
-        sample = build_dummy_caption_batch(cfg, cfg.vocab_size)
-        self.train_state = init_caption_train_state(
-            model_mgr.model, self.optimizer, jax.random.PRNGKey(seed),
-            sample, ema_decay=cfg.ema_decay)
+        if self._recurrent:
+            sample = build_dummy_caption_batch(cfg, cfg.vocab_size)
+            self.train_state = init_caption_train_state(
+                model_mgr.model, self.optimizer, jax.random.PRNGKey(seed),
+                sample, ema_decay=cfg.ema_decay)
+        else:
+            from coot_videotext_tpu.tasks.caption.model_manager import (
+                build_dummy_caption_batch_single)
+            from coot_videotext_tpu.tasks.caption.steps import (
+                init_caption_train_state_single)
+            sample = build_dummy_caption_batch_single(
+                cfg, cfg.vocab_size, untied=self._untied)
+            self.train_state = init_caption_train_state_single(
+                model_mgr.model, self.optimizer, jax.random.PRNGKey(seed),
+                sample, ema_decay=cfg.ema_decay, untied=self._untied)
         self.logger.info(
             f"Model: {model_mgr.count_parameters(self.train_state.params):,}"
             " parameters")
@@ -131,12 +141,24 @@ class MartTrainer(BaseTrainer):
             self.train_state = self.train_state._replace(params=params)
         self._root_rng = jax.random.PRNGKey(seed)
 
-        self._train_step = make_caption_train_step(
-            model_mgr.model, self.optimizer, ema_decay=cfg.ema_decay,
-            clip_gradient=1.0, mesh=self.mesh)
-        self._eval_step = make_caption_eval_step(model_mgr.model,
-                                                 mesh=self.mesh)
-        self._data_sharding = stacked_batch_sharding(self.mesh)
+        if self._recurrent:
+            self._train_step = make_caption_train_step(
+                model_mgr.model, self.optimizer, ema_decay=cfg.ema_decay,
+                clip_gradient=1.0, mesh=self.mesh)
+            self._eval_step = make_caption_eval_step(model_mgr.model,
+                                                     mesh=self.mesh)
+            self._data_sharding = stacked_batch_sharding(self.mesh)
+        else:
+            from coot_videotext_tpu.parallel.mesh import batch_sharding
+            from coot_videotext_tpu.tasks.caption.steps import (
+                make_caption_eval_step_single,
+                make_caption_train_step_single)
+            self._train_step = make_caption_train_step_single(
+                model_mgr.model, self.optimizer, ema_decay=cfg.ema_decay,
+                untied=self._untied, clip_gradient=1.0, mesh=self.mesh)
+            self._eval_step = make_caption_eval_step_single(
+                model_mgr.model, untied=self._untied, mesh=self.mesh)
+            self._data_sharding = batch_sharding(self.mesh)
 
         self.translator = Translator(model_mgr.model, self._eval_params,
                                      cfg, logger=self.logger)
@@ -244,9 +266,10 @@ class MartTrainer(BaseTrainer):
         def producer():
             try:
                 for item in gen():
-                    dev = jax.device_put(
-                        {k: v for k, v in item["__device__"].items()
-                         if k != "step_valid"}, self._data_sharding)
+                    arrays = {k: v for k, v in item["__device__"].items()
+                              if isinstance(v, np.ndarray)
+                              and k != "step_valid"}
+                    dev = jax.device_put(arrays, self._data_sharding)
                     q.put((dev, {"step_sizes": item["step_sizes"],
                                  "metas": item["metas"]}))
             except BaseException as e:
@@ -287,22 +310,46 @@ class MartTrainer(BaseTrainer):
             n_word_total += int(out["n_word"])
             n_word_correct += int(out["n_correct"])
 
-            dec_seq_list = self.translator.translate_batch(
-                [batch["input_ids"], batch["video_feature"],
-                 batch["input_mask"], batch["token_type_ids"]],
-                use_beam=self.cfg.use_beam, recurrent=self.cfg.recurrent,
+            if self._recurrent:
+                model_inputs = [batch["input_ids"],
+                                batch["video_feature"],
+                                batch["input_mask"],
+                                batch["token_type_ids"]]
+            elif self._untied:
+                model_inputs = [batch["video_feature"],
+                                batch["video_mask"],
+                                batch["text_ids"], batch["text_mask"]]
+            else:
+                model_inputs = [batch["input_ids"],
+                                batch["video_feature"],
+                                batch["input_mask"],
+                                batch["token_type_ids"]]
+            dec = self.translator.translate_batch(
+                model_inputs, use_beam=self.cfg.use_beam,
+                recurrent=self.cfg.recurrent,
                 untied=self.cfg.untied, xl=self.cfg.xl,
                 mtrans=self.cfg.mtrans)
 
-            for ex_idx, (step_size, cur_meta) in enumerate(
-                    zip(host["step_sizes"], host["metas"])):
-                for step_idx, step_batch in enumerate(
-                        dec_seq_list[:step_size]):
+            if self._recurrent:
+                for ex_idx, (step_size, cur_meta) in enumerate(
+                        zip(host["step_sizes"], host["metas"])):
+                    for step_idx, step_batch in enumerate(
+                            dec[:step_size]):
+                        batch_res["results"][cur_meta["name"]].append({
+                            "sentence": dataset.convert_ids_to_sentence(
+                                step_batch[ex_idx].tolist()),
+                            "timestamp":
+                                cur_meta["timestamp"][step_idx],
+                            "gt_sentence":
+                                cur_meta["gt_sentence"][step_idx],
+                        })
+            else:
+                for ex_idx, cur_meta in enumerate(host["metas"]):
                     batch_res["results"][cur_meta["name"]].append({
                         "sentence": dataset.convert_ids_to_sentence(
-                            step_batch[ex_idx].tolist()),
-                        "timestamp": cur_meta["timestamp"][step_idx],
-                        "gt_sentence": cur_meta["gt_sentence"][step_idx],
+                            dec[ex_idx].tolist()),
+                        "timestamp": cur_meta["timestamp"],
+                        "gt_sentence": cur_meta["gt_sentence"],
                     })
             self.hook_post_forward_step_timer()
             forward_time_total += self.timedelta_step_forward

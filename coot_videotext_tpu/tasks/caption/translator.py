@@ -189,24 +189,305 @@ class Translator:
                                    jnp.asarray(token_type_ids))
         return np.asarray(jax.device_get(ids))
 
+    # ---------- XL greedy ----------
+
+    def _greedy_xl_fn(self, first_step: bool):
+        """XL per-sentence greedy (reference translate_batch_greedy_xl
+        :261): forward_step signature carries token types before masks and
+        threads the previous segment's padding mask."""
+        cfg = self.cfg
+        model = self.model
+
+        def fn(params, prev_ms, input_ids, video_features, token_type_ids,
+               input_masks, prev_masks):
+            if first_step:
+                prev_ms = None
+                prev_masks = None
+
+            def fwd(ms, ids, masks):
+                return model.apply(
+                    {"params": params}, ms, ids, video_features,
+                    token_type_ids, masks, prev_masks,
+                    deterministic=True, method=model.forward_step)
+
+            def body(dec_idx, carry):
+                ids, masks, next_symbols = carry
+                ids = ids.at[:, dec_idx].set(next_symbols)
+                masks = masks.at[:, dec_idx].set(1)
+                _, _, scores = fwd(prev_ms, ids, masks)
+                scores = scores.at[:, :, UNK].set(-1e10)
+                row = jnp.take_along_axis(
+                    scores, jnp.full((scores.shape[0], 1, 1), dec_idx),
+                    axis=1)[:, 0]
+                next_words = jnp.argmax(row, axis=1).astype(ids.dtype)
+                return ids, masks, next_words
+
+            bsz = input_ids.shape[0]
+            start = jnp.full((bsz,), BOS, input_ids.dtype)
+            ids, masks, _ = jax.lax.fori_loop(
+                cfg.max_v_len, cfg.max_v_len + cfg.max_t_len, body,
+                (input_ids, input_masks, start))
+            ids, masks = mask_tokens_after_eos(ids, masks)
+            cur_ms, _, _ = fwd(prev_ms, ids, masks)
+            return cur_ms, ids, masks
+
+        return jax.jit(fn)
+
+    def translate_batch_greedy_xl(self, input_ids_list,
+                                  video_features_list, input_masks_list,
+                                  token_type_ids_list) -> List[np.ndarray]:
+        cfg = self.cfg
+        params = self.params_provider()
+        input_ids_list, input_masks_list = prepare_video_only_inputs(
+            jnp.asarray(input_ids_list), jnp.asarray(input_masks_list),
+            jnp.asarray(token_type_ids_list))
+        step_size = len(input_ids_list)
+        dec_seq_list = []
+        prev_ms = None
+        prev_masks = None
+        for idx in range(step_size):
+            key = ("greedy_xl", idx == 0,
+                   tuple(input_ids_list[idx].shape))
+            if key not in self._jit_cache:
+                self._jit_cache[key] = self._greedy_xl_fn(idx == 0)
+            prev_ms, ids, prev_masks = self._jit_cache[key](
+                params, prev_ms, input_ids_list[idx],
+                jnp.asarray(video_features_list[idx]),
+                jnp.asarray(token_type_ids_list[idx]),
+                input_masks_list[idx], prev_masks)
+            dec_seq_list.append(np.asarray(
+                jax.device_get(ids[:, cfg.max_v_len:])))
+        return dec_seq_list
+
+    # ---------- single-sentence untied / mtrans greedy ----------
+
+    def _greedy_untied_fn(self):
+        cfg = self.cfg
+        model = self.model
+
+        def fn(params, video_features, video_masks, text_ids, text_masks):
+            enc = model.apply({"params": params}, video_features,
+                              video_masks, deterministic=True,
+                              method=model.encode)
+
+            def body(dec_idx, carry):
+                ids, masks, next_symbols = carry
+                ids = ids.at[:, dec_idx].set(next_symbols)
+                masks = masks.at[:, dec_idx].set(1)
+                _, scores = model.apply(
+                    {"params": params}, ids, masks, None, enc,
+                    video_masks, deterministic=True, method=model.decode)
+                scores = scores.at[:, :, UNK].set(-1e10)
+                row = jnp.take_along_axis(
+                    scores, jnp.full((scores.shape[0], 1, 1), dec_idx),
+                    axis=1)[:, 0]
+                next_words = jnp.argmax(row, axis=1).astype(ids.dtype)
+                return ids, masks, next_words
+
+            bsz = text_ids.shape[0]
+            ids = jnp.zeros_like(text_ids)
+            masks = jnp.zeros_like(text_masks)
+            start = jnp.full((bsz,), BOS, text_ids.dtype)
+            ids, masks, _ = jax.lax.fori_loop(0, cfg.max_t_len, body,
+                                              (ids, masks, start))
+            return ids
+
+        return jax.jit(fn)
+
+    def translate_batch_single_sentence_untied_greedy(
+            self, video_features, video_masks, text_ids, text_masks
+    ) -> np.ndarray:
+        """Untied / masked-transformer greedy (reference :354)."""
+        params = self.params_provider()
+        key = ("greedy_untied", tuple(np.shape(text_ids)))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._greedy_untied_fn()
+        ids = self._jit_cache[key](params, jnp.asarray(video_features),
+                                   jnp.asarray(video_masks),
+                                   jnp.asarray(text_ids),
+                                   jnp.asarray(text_masks))
+        return np.asarray(jax.device_get(ids))
+
+    # ---------- beam (recurrent) ----------
+
+    def _beam_token_fn(self, first_step: bool):
+        """(params, prev_ms, ids, feats, masks, ttypes, preds, dec_idx)
+        -> (ids, masks, logprobs at dec_idx)."""
+        cfg = self.cfg
+        model = self.model
+
+        def fn(params, prev_ms, ids, feats, masks, ttypes, preds,
+               dec_idx):
+            if first_step:
+                prev_ms = [None] * cfg.num_hidden_layers
+            ids = jnp.asarray(ids)
+            ids = jax.vmap(lambda row, p: row.at[dec_idx].set(p))(
+                ids, preds)
+            masks = jax.vmap(lambda row: row.at[dec_idx].set(1))(
+                jnp.asarray(masks))
+            _, _, scores = model.apply(
+                {"params": params}, prev_ms, ids, feats, masks, ttypes,
+                deterministic=True, method=model.forward_step)
+            # suppress [UNK]; NOTE the reference beam path has
+            # `pred_scores[:, UNK]` (translator.py:135) which zeroes
+            # POSITION 6, a latent indexing bug — the correct token-axis
+            # suppression (as in its own greedy path :226) is used here.
+            scores = scores.at[:, :, UNK].set(-1e10)
+            row = jnp.take_along_axis(
+                scores, jnp.full((scores.shape[0], 1, 1), dec_idx),
+                axis=1)[:, 0].astype(jnp.float32)
+            logprobs = jax.nn.log_softmax(row, axis=-1)
+            return ids, masks, logprobs
+
+        return jax.jit(fn)
+
+    def _gather_rows_fn(self):
+        def fn(tree, perm):
+            return jax.tree_util.tree_map(lambda x: x[perm], tree)
+        return jax.jit(fn)
+
+    def translate_batch_beam(self, input_ids_list, video_features_list,
+                             input_masks_list, token_type_ids_list
+                             ) -> List[np.ndarray]:
+        """Recurrent beam search (reference :79-180). Device arrays stay
+        at the static (N*beam) size; the beam's select indices gather rows
+        each step (the reference shrinks tensors dynamically — host-side
+        bookkeeping shrinks here too, device shapes do not). Unlike the
+        reference (:146-160), rows are reordered EVERY step so each beam
+        row carries its own token history."""
+        from coot_videotext_tpu.tasks.caption.beam_search import BeamSearch
+        cfg = self.cfg
+        params = self.params_provider()
+        beam_size = cfg.beam_size
+        input_ids_list, input_masks_list = prepare_video_only_inputs(
+            jnp.asarray(input_ids_list), jnp.asarray(input_masks_list),
+            jnp.asarray(token_type_ids_list))
+
+        step_size = len(input_ids_list)
+        batch_size = int(input_ids_list[0].shape[0])
+        total_rows = batch_size * beam_size
+        gather = self._gather_rows_fn()
+        dec_seq_list = []
+        prev_ms = None
+        for idx in range(step_size):
+            init_ids = np.array(jax.device_get(input_ids_list[idx]),
+                                copy=True)
+            init_masks = np.array(jax.device_get(input_masks_list[idx]),
+                                  copy=True)
+            init_feats = video_features_list[idx]
+            init_ttypes = token_type_ids_list[idx]
+
+            # tile x beam (batch-major blocks, reference tile :33)
+            rep = lambda x: jnp.repeat(jnp.asarray(x), beam_size,  # noqa
+                                       axis=0)
+            ids = rep(init_ids)
+            masks = rep(init_masks)
+            feats = rep(init_feats)
+            ttypes = rep(init_ttypes)
+            ms = (None if prev_ms is None
+                  else [rep(e) for e in prev_ms])
+
+            beam = BeamSearch(
+                beam_size, batch_size, PAD, BOS, EOS, cfg.n_best,
+                cfg.min_sen_len, cfg.max_sen_len,
+                cfg.block_ngram_repeat, exclusion_tokens=set(),
+                length_penalty_name=cfg.length_penalty_name,
+                length_penalty_alpha=cfg.length_penalty_alpha)
+
+            key = ("beam_tok", idx == 0, tuple(ids.shape))
+            if key not in self._jit_cache:
+                self._jit_cache[key] = self._beam_token_fn(idx == 0)
+            token_fn = self._jit_cache[key]
+
+            n_alive = total_rows
+            for dec_idx in range(cfg.max_v_len,
+                                 cfg.max_v_len + cfg.max_t_len):
+                preds = np.zeros(total_rows, np.int32)
+                preds[:n_alive] = beam.current_predictions
+                ids, masks, logprobs = token_fn(
+                    params, ms, ids, feats, masks, ttypes,
+                    jnp.asarray(preds), dec_idx)
+                lp = np.asarray(jax.device_get(logprobs))[:n_alive]
+                beam.advance(lp)
+                if beam.is_finished.any():
+                    survivors = beam.update_finished()
+                    if beam.done:
+                        break
+                    sel = beam.select_indices
+                else:
+                    sel = beam.current_origin
+                perm = np.zeros(total_rows, np.int32)
+                perm[:len(sel)] = sel
+                n_alive = len(sel)
+                tree = {"ids": ids, "masks": masks, "feats": feats,
+                        "ttypes": ttypes}
+                if ms is not None:
+                    tree["ms"] = ms
+                tree = gather(tree, jnp.asarray(perm))
+                ids, masks = tree["ids"], tree["masks"]
+                feats, ttypes = tree["feats"], tree["ttypes"]
+                ms = tree.get("ms", ms)
+
+            # fill top hypotheses back into the UN-tiled inputs and build
+            # the next-sentence memory (reference :163-180)
+            for b in range(batch_size):
+                hyp = (beam.predictions[b][0] if beam.predictions[b]
+                       else np.asarray([], np.int64))
+                sen_ids = [BOS] + [int(t) for t in hyp] + [EOS]
+                sen_ids = sen_ids[:cfg.max_t_len]
+                lo = cfg.max_v_len
+                init_ids[b, lo:lo + len(sen_ids)] = sen_ids
+                init_masks[b, lo:lo + len(sen_ids)] = 1
+
+            key2 = ("beam_mem", idx == 0, init_ids.shape)
+            if key2 not in self._jit_cache:
+                self._jit_cache[key2] = self._beam_memory_fn(idx == 0)
+            prev_ms, out_ids = self._jit_cache[key2](
+                params, prev_ms, jnp.asarray(init_ids), init_feats,
+                jnp.asarray(init_masks), init_ttypes)
+            dec_seq_list.append(np.asarray(
+                jax.device_get(out_ids[:, cfg.max_v_len:])))
+        return dec_seq_list
+
+    def _beam_memory_fn(self, first_step: bool):
+        cfg = self.cfg
+        model = self.model
+
+        def fn(params, prev_ms, ids, feats, masks, ttypes):
+            if first_step:
+                prev_ms = [None] * cfg.num_hidden_layers
+            ids, masks = mask_tokens_after_eos(ids, masks)
+            cur_ms, _, _ = model.apply(
+                {"params": params}, prev_ms, ids, feats, masks, ttypes,
+                deterministic=True, method=model.forward_step)
+            return cur_ms, ids
+
+        return jax.jit(fn)
+
     # ---------- dispatch ----------
 
     def translate_batch(self, model_inputs, use_beam: bool = False,
                         recurrent: bool = True, untied: bool = False,
                         xl: bool = False, mtrans: bool = False):
-        """Dispatch (reference :388). Beam search lands with the
-        beam_search module; greedy covers the shipped eval path
-        (use_beam defaults false in all reference configs)."""
+        """Dispatch (reference :388)."""
         if use_beam:
-            raise NotImplementedError(
-                "beam search arrives with mart/beam_search port")
+            assert recurrent and not xl, (
+                "beam search is wired for the recurrent MART model "
+                "(matching the reference's coverage)")
+            input_ids, video_feats, input_masks, ttypes = model_inputs
+            return self.translate_batch_beam(
+                input_ids, video_feats, input_masks, ttypes)
         if recurrent:
             input_ids, video_feats, input_masks, ttypes = model_inputs
+            if xl:
+                return self.translate_batch_greedy_xl(
+                    input_ids, video_feats, input_masks, ttypes)
             return self.translate_batch_greedy(
                 input_ids, video_feats, input_masks, ttypes)
         if untied or mtrans:
-            raise NotImplementedError("untied greedy lands with the "
-                                      "untied model variant")
+            video_feats, video_masks, text_ids, text_masks = model_inputs
+            return self.translate_batch_single_sentence_untied_greedy(
+                video_feats, video_masks, text_ids, text_masks)
         input_ids, video_feats, input_masks, ttypes = model_inputs
         return self.translate_batch_single_sentence_greedy(
             input_ids, video_feats, input_masks, ttypes)

@@ -130,3 +130,70 @@ def test_caption_metrics_native():
                1: ["nothing matches at all"]}
     bleu_bad, _ = Bleu(4).compute_score(gts, res_bad)
     assert bleu_bad[3] < 0.1
+
+
+@pytest.mark.parametrize("flags", [
+    {"xl": True, "recurrent": True},
+    {"untied": True, "recurrent": False},
+    {"mtrans": True, "recurrent": False},
+    {"recurrent": False},  # plain single-sentence joint model
+])
+def test_caption_variants_train_and_translate(synth_caption, tmp_path,
+                                              flags):
+    """Each model variant trains one epoch and translates."""
+    root, overrides = synth_caption
+    log_dir = str(tmp_path / "experiments")
+    cfg, train_set, val_set, train_loader, val_loader = make_setup(
+        overrides, num_epochs=1, **{"batch_size": 8})
+    for k, v in flags.items():
+        setattr(cfg, k, v)
+    # rebuild loaders with the right collate layout for the flags
+    from coot_videotext_tpu.data.caption_dataset import (
+        create_mart_datasets_and_loaders)
+    train_set, val_set, train_loader, val_loader = \
+        create_mart_datasets_and_loaders(
+            cfg, overrides["coot_feat_dir"], overrides["annotations_dir"],
+            "unused", seed=0)
+    model = create_mart_model(cfg, len(train_set.word2idx), verbose=False)
+    mgr = MartModelManager(cfg, model)
+    name = "_".join(sorted(k for k, v in flags.items() if v)) or "single"
+    trainer = MartTrainer(cfg, mgr, "default", f"var_{name}", "run1",
+                          len(train_loader), log_dir=log_dir,
+                          annotations_dir=overrides["annotations_dir"])
+    trainer.train_model(train_loader, val_loader)
+    assert trainer.state.current_epoch == 1
+    transl = trainer.exp.get_translation_files(0, "val")
+    assert transl.is_file()
+    res = json.loads(transl.read_text(encoding="utf8"))
+    assert len(res["results"]) == len(
+        {e["name"] for e in (val_set.data if not cfg.recurrent
+                             else [{"name": d["name"]}
+                                   for d in val_set.data])})
+    trainer.close()
+
+
+def test_caption_beam_search(synth_caption, tmp_path):
+    """Beam search produces hypotheses for the recurrent model."""
+    root, overrides = synth_caption
+    log_dir = str(tmp_path / "experiments")
+    cfg, train_set, val_set, train_loader, val_loader = make_setup(
+        overrides, num_epochs=1)
+    cfg.use_beam = True
+    cfg.beam_size = 2
+    cfg.min_sen_len = 2
+    cfg.max_sen_len = cfg.max_t_len - 2
+    model = create_mart_model(cfg, len(train_set.word2idx), verbose=False)
+    mgr = MartModelManager(cfg, model)
+    trainer = MartTrainer(cfg, mgr, "default", "beamtest", "run1",
+                          len(train_loader), log_dir=log_dir,
+                          annotations_dir=overrides["annotations_dir"])
+    loss, score, is_best, metrics = trainer.validate_epoch(val_loader)
+    assert np.isfinite(loss)
+    transl = trainer.exp.get_translation_files(0, "val")
+    res = json.loads(transl.read_text(encoding="utf8"))
+    assert len(res["results"]) == len(val_set)
+    # every entry decodes to a string
+    for entries in res["results"].values():
+        for e in entries:
+            assert isinstance(e["sentence"], str)
+    trainer.close()
