@@ -1,0 +1,54 @@
+"""
+Results-viewer tests: schema compatibility of collect/average/output with
+the experiment dirs this framework writes, and (when the reference repo is
+mounted) byte-level agreement with the reference's published README table
+from its provided_experiments files.
+"""
+
+import io
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from coot_videotext_tpu.utils.view_results import (
+    average_results_data, collect_results_data, match_folder,
+    output_results)
+
+REFERENCE_EXPERIMENTS = Path("/root/reference/provided_experiments")
+
+
+@pytest.mark.skipif(not REFERENCE_EXPERIMENTS.is_dir(),
+                    reason="reference repo not mounted")
+def test_reference_provided_experiments_readme_table():
+    """Reproduce the reference README numbers from its own metric files
+    (README.md:156-158)."""
+    groups = match_folder(REFERENCE_EXPERIMENTS, "retrieval")
+    collector = collect_results_data(
+        "retrieval", groups, log_dir=str(REFERENCE_EXPERIMENTS))
+    assert len(collector) == 9  # 3 configs x 3 runs
+    for metrics in collector.values():
+        metrics["vp-r1"] = (metrics["val_base/vid2par-r1"]
+                            + metrics["val_base/par2vid-r1"]) / 2
+    mean_c, std_c, num = average_results_data(collector,
+                                              group_by_names=True)
+    anet = mean_c["anet_coot_run"]
+    np.testing.assert_allclose(anet["val_base/vid2par-r1"], 0.6144,
+                               atol=5e-5)
+    np.testing.assert_allclose(anet["val_base/par2vid-r1"], 0.6156,
+                               atol=5e-5)
+    yc2 = mean_c["yc2_100m_coot_run"]
+    np.testing.assert_allclose(yc2["val_base/vid2par-r1"], 0.7535,
+                               atol=5e-5)
+    yc2_2d3d = mean_c["yc2_2d3d_coot_run"]
+    np.testing.assert_allclose(yc2_2d3d["val_base/vid2par-r1"], 0.4872,
+                               atol=5e-5)
+    assert num["anet_coot_run"] == 3
+
+    # table renders without error
+    buf = io.StringIO()
+    output_results(collector, mean=True, compact=True, sort="alpha",
+                   print_fn=lambda *a: buf.write(" ".join(map(str, a))
+                                                 + "\n"))
+    out = buf.getvalue()
+    assert "anet_coot_run (3)" in out
