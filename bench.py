@@ -94,12 +94,15 @@ def main() -> None:
     state = TrainState(params, optimizer.init(params), jnp.int32(0))
     state = jax.device_put(state, replicated_sharding(mesh))
     lw = cfg.train.contrastive_loss_config.as_dict()
+    meta = train_loader.device_meta
+    sampling = {"shapes": meta.shapes, "max_frames": meta.max_frames}
     step = make_retrieval_train_step(
         mgr.model_train, optimizer, loss_weights=lw,
         margin=cfg.train.contrastive_loss_config.margin,
         loss_cycle_cons=cfg.train.loss_cycle_cons,
         clip_gradient=-1, mesh=mesh, use_store=True,
-        frames_noise=cfg.dataset_train.frames_noise)
+        frames_noise=cfg.dataset_train.frames_noise,
+        device_sampling=sampling)
     sharding = batch_sharding(mesh)
     rng = jax.random.PRNGKey(0)
     lr = jnp.float32(3.6e-4)
@@ -111,14 +114,15 @@ def main() -> None:
                           for k in train_set.keys)
     clips_done = 0
     t_start = None
-    n_epochs = 8
+    n_epochs = 40
     for epoch in range(n_epochs):
         train_loader.set_epoch(epoch)
         for batch, _meta in prefetch_to_device(train_loader,
                                                sharding=sharding):
             state, metrics = step(state, batch, lr,
                                   jax.random.fold_in(rng, host_step),
-                                  store.vid_store, store.text_store)
+                                  store.vid_store, store.text_store,
+                                  meta.tables)
             host_step += 1
         if epoch == 0:
             jax.block_until_ready(state.params)

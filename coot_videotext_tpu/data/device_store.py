@@ -196,3 +196,206 @@ def gather_dense_batch(batch: Dict[str, jnp.ndarray],
     for k in ("vid_idx", "clip_idx", "par_idx", "sent_idx"):
         del out[k]
     return out
+
+
+# ---------- fully device-resident pipeline: on-device sampling ----------
+
+class RetrievalDeviceMeta:
+    """
+    Static per-datapoint metadata uploaded to device once, enabling the
+    whole batch assembly (frame sampling + gather-index construction +
+    masks) to run INSIDE the jitted step. Per batch the host then ships
+    only (B,) datapoint ids — the end state of the host->device diet:
+    features resident (RetrievalDeviceStore), metadata resident (here),
+    per-step traffic a few hundred bytes.
+
+    Sampling parity: validation center-sampling reproduces the reference
+    formula floor(linspace(0,n,t,endpoint=False) + n/t/2) exactly
+    (nntrainer/maths.py:12); train jitter uses standard per-interval
+    uniform jitter floor((i+u_i)*n/t) — same marginal distribution as the
+    reference's shuffled-interval scheme, different RNG stream (numpy ->
+    jax PRNG). The host get_indices path remains for bit-parity needs.
+    """
+
+    def __init__(self, store: RetrievalDeviceStore,
+                 fixed_shapes: Dict[str, int], max_frames: int,
+                 sharding=None) -> None:
+        ds = store.dataset
+        n = len(ds.keys)
+        n_parts = fixed_shapes["n_parts"]
+        self.shapes = dict(fixed_shapes)
+        self.max_frames = max_frames
+
+        vid_off = np.zeros(n, np.int32)
+        vid_nf = np.zeros(n, np.int32)
+        seg_off = np.zeros((n, n_parts), np.int32)
+        seg_nf = np.zeros((n, n_parts), np.int32)
+        seg_valid = np.zeros((n, n_parts), bool)
+        clip_num = np.zeros(n, np.int32)
+        text_off = np.zeros(n, np.int32)
+        sent_len = np.zeros((n, n_parts), np.int32)
+        sent_off = np.zeros((n, n_parts), np.int32)
+        sent_num = np.zeros(n, np.int32)
+        par_len = np.zeros(n, np.int32)
+
+        for i, (key, data_key) in enumerate(zip(ds.keys, ds.data_keys)):
+            meta = ds.meta[key]
+            vid_off[i] = store.vid_offset[data_key] + \
+                meta["start_frame_vid"]
+            vid_nf[i] = meta["num_frames_vid"]
+            clip_num[i] = len(meta["segments"])
+            for j, seg in enumerate(meta["segments"]):
+                seg_off[i, j] = store.vid_offset[data_key] + \
+                    seg["start_frame"]
+                seg_nf[i, j] = seg["num_frames"]
+                seg_valid[i, j] = True
+            text_off[i] = store.text_offset[key]
+            splits = ds.text_feats.sentence_splits.get(
+                key, ds.text_feats.sentence_splits.get(f"v_{key[:11]}"))
+            sent_num[i] = len(splits)
+            ptr = 0
+            for j, slen in enumerate(splits):
+                sent_len[i, j] = slen
+                sent_off[i, j] = text_off[i] + ptr
+                ptr += slen
+            par_len[i] = ptr
+
+        put = lambda x: jax.device_put(x, sharding)  # noqa: E731
+        self.tables = {
+            "vid_off": put(vid_off), "vid_nf": put(vid_nf),
+            "seg_off": put(seg_off), "seg_nf": put(seg_nf),
+            "seg_valid": put(seg_valid), "clip_num": put(clip_num),
+            "sent_len": put(sent_len), "sent_off": put(sent_off),
+            "sent_num": put(sent_num), "par_len": put(par_len),
+            "text_off": put(text_off),
+        }
+
+
+def _sample_frame_indices(rng: Optional[jax.Array], offset, n_frames,
+                          target_slots: int, max_frames: int):
+    """
+    Device port of nntrainer/maths.py compute_indices for one sequence:
+    returns (idx (target_slots,), mask, length) with padded slots -> first
+    frame. t = min(n_frames, max_frames) frames are sampled: train =
+    uniform jitter per interval, val = interval centers (exact reference
+    formula).
+    """
+    t = jnp.minimum(n_frames, max_frames)
+    i = jnp.arange(target_slots, dtype=jnp.float32)
+    n_f = n_frames.astype(jnp.float32)
+    t_f = jnp.maximum(t.astype(jnp.float32), 1.0)
+    if rng is None:  # center sampling (val)
+        pos = jnp.floor(i * n_f / t_f + n_f / t_f / 2.0)
+    else:  # jittered (train)
+        u = jax.random.uniform(rng, (target_slots,))
+        pos = jnp.floor((i + u) * n_f / t_f)
+    pos = jnp.clip(pos.astype(jnp.int32), 0,
+                   jnp.maximum(n_frames - 1, 0))
+    mask = jnp.arange(target_slots) < t
+    idx = jnp.where(mask, offset + pos, offset)
+    return idx, mask, t
+
+
+def device_sample_batch(tables: Dict[str, jnp.ndarray],
+                        dp_idx: jnp.ndarray,
+                        shapes: Dict[str, int], max_frames: int, *,
+                        rng: Optional[jax.Array] = None,
+                        batch_valid: Optional[jnp.ndarray] = None
+                        ) -> Dict[str, jnp.ndarray]:
+    """
+    DEVICE-side batch assembly: datapoint ids -> index batch (the same
+    schema RetrievalDeviceStore.collate_indices builds on host). rng=None
+    selects deterministic center sampling (validation).
+    """
+    b = dp_idx.shape[0]
+    lv, lc = shapes["lv"], shapes["lc"]
+    ls, lp = shapes["ls"], shapes["lp"]
+    n_parts = shapes["n_parts"]
+    if batch_valid is None:
+        batch_valid = jnp.ones((b,), bool)
+
+    vid_off = tables["vid_off"][dp_idx]
+    vid_nf = tables["vid_nf"][dp_idx]
+    seg_off = tables["seg_off"][dp_idx]
+    seg_nf = tables["seg_nf"][dp_idx]
+    seg_valid = tables["seg_valid"][dp_idx]
+    clip_num = tables["clip_num"][dp_idx]
+    sent_len = tables["sent_len"][dp_idx]
+    sent_off = tables["sent_off"][dp_idx]
+    sent_num = tables["sent_num"][dp_idx]
+    par_len = tables["par_len"][dp_idx]
+    text_off = tables["text_off"][dp_idx]
+
+    if rng is None:
+        vid_rngs = [None] * 1
+        vid_idx, vid_mask, vid_len = jax.vmap(
+            lambda o, nf: _sample_frame_indices(None, o, nf, lv,
+                                                max_frames))(vid_off,
+                                                             vid_nf)
+        clip_idx, clip_mask, clip_len = jax.vmap(jax.vmap(
+            lambda o, nf: _sample_frame_indices(None, o, nf, lc,
+                                                max_frames)))(seg_off,
+                                                              seg_nf)
+    else:
+        rng_v, rng_c = jax.random.split(rng)
+        vkeys = jax.random.split(rng_v, b)
+        vid_idx, vid_mask, vid_len = jax.vmap(
+            lambda k, o, nf: _sample_frame_indices(k, o, nf, lv,
+                                                   max_frames))(
+            vkeys, vid_off, vid_nf)
+        ckeys = jax.random.split(rng_c, b * n_parts).reshape(
+            b, n_parts, 2)
+        clip_idx, clip_mask, clip_len = jax.vmap(jax.vmap(
+            lambda k, o, nf: _sample_frame_indices(k, o, nf, lc,
+                                                   max_frames)))(
+            ckeys, seg_off, seg_nf)
+
+    # clamp masks by validity
+    clip_valid = seg_valid & batch_valid[:, None]
+    clip_mask = clip_mask & clip_valid[:, :, None]
+    clip_len = jnp.where(clip_valid, clip_len, 0)
+    # keep one live slot on padded rows (finite masked softmaxes)
+    first_slot = (jnp.arange(n_parts)[None, :] == 0)
+    pad_rows = ~batch_valid
+    clip_valid = clip_valid | (pad_rows[:, None] & first_slot)
+    clip_mask = clip_mask.at[:, :, 0].set(
+        clip_mask[:, :, 0] | (pad_rows[:, None] & first_slot))
+    clip_len = jnp.maximum(clip_len, (pad_rows[:, None]
+                                      & first_slot).astype(jnp.int32))
+
+    # text: deterministic ranges
+    tok = jnp.arange(lp)[None, :]
+    par_idx = text_off[:, None] + jnp.minimum(
+        tok, jnp.maximum(par_len - 1, 0)[:, None])
+    par_mask = tok < par_len[:, None]
+    par_mask = par_mask.at[:, 0].set(True)
+    stok = jnp.arange(ls)[None, None, :]
+    sent_idx = sent_off[:, :, None] + jnp.minimum(
+        stok, jnp.maximum(sent_len - 1, 0)[:, :, None])
+    sent_valid = (sent_len > 0) & batch_valid[:, None]
+    sent_mask = (stok < sent_len[:, :, None]) & sent_valid[:, :, None]
+    sent_valid = sent_valid | (pad_rows[:, None] & first_slot)
+    sent_mask = sent_mask.at[:, :, 0].set(
+        sent_mask[:, :, 0] | (pad_rows[:, None] & first_slot))
+    sent_lens = jnp.where(sent_valid, jnp.maximum(sent_len, 1), 0)
+
+    vid_mask = vid_mask.at[:, 0].set(True)
+    return {
+        "batch_valid": batch_valid,
+        "vid_idx": vid_idx.astype(jnp.int32),
+        "vid_mask": vid_mask,
+        "vid_len": jnp.maximum(vid_len, 1).astype(jnp.int32),
+        "clip_idx": clip_idx.astype(jnp.int32),
+        "clip_mask": clip_mask,
+        "clip_len": clip_len.astype(jnp.int32),
+        "clip_valid": clip_valid,
+        "clip_num": jnp.maximum(clip_num, 1).astype(jnp.int32),
+        "par_idx": par_idx.astype(jnp.int32),
+        "par_mask": par_mask,
+        "par_len": jnp.maximum(par_len, 1).astype(jnp.int32),
+        "sent_idx": sent_idx.astype(jnp.int32),
+        "sent_mask": sent_mask,
+        "sent_len": sent_lens.astype(jnp.int32),
+        "sent_valid": sent_valid,
+        "sent_num": jnp.maximum(sent_num, 1).astype(jnp.int32),
+    }

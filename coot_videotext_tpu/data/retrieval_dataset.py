@@ -385,6 +385,9 @@ class RetrievalBatchLoader:
                              if fixed_shapes else None)
         # HBM-resident store: yield index-only batches (device_store.py)
         self.device_store = device_store
+        # device-resident metadata: yield datapoint-id-only batches and
+        # let the jitted step do sampling + index construction on device
+        self.device_meta = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -405,7 +408,23 @@ class RetrievalBatchLoader:
             idx = order[start:start + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 return
-            if self.device_store is not None:
+            if self.device_meta is not None:
+                dp_idx = np.zeros(self.batch_size, np.int32)
+                dp_idx[:len(idx)] = idx
+                batch_valid = np.zeros(self.batch_size, bool)
+                batch_valid[:len(idx)] = True
+                yield {
+                    "key": [self.dataset.keys[int(i)] for i in idx],
+                    "data_key": [self.dataset.data_keys[int(i)]
+                                 for i in idx],
+                    "sentences": [
+                        [seg["text"] or "undefined" for seg in
+                         self.dataset.meta[self.dataset.keys[int(i)]][
+                             "segments"]] for i in idx],
+                    "dp_idx": dp_idx,
+                    "batch_valid": batch_valid,
+                }
+            elif self.device_store is not None:
                 points = [self.dataset.get_indices(int(i)) for i in idx]
                 yield self.device_store.collate_indices(
                     points, batch_size=self.batch_size,
@@ -470,4 +489,19 @@ def create_retrieval_datasets_and_loaders(
     val_loader = RetrievalBatchLoader(
         val_set, cfg.val.batch_size, shuffle=False, drop_last=False,
         seed=seed, fixed_shapes=fixed_shapes, device_store=val_store)
+
+    # full device-resident pipeline: with the store AND dataset-level
+    # static shapes, upload the per-datapoint metadata too and let the
+    # jitted step sample on device (host ships datapoint ids only)
+    sample_on_device = getattr(cfg.dataset_train, "sample_on_device",
+                               True)
+    if device_preload and fixed_shapes and sample_on_device:
+        from coot_videotext_tpu.data.device_store import (
+            RetrievalDeviceMeta)
+        train_loader.device_meta = RetrievalDeviceMeta(
+            train_store, train_loader.fixed_shapes,
+            cfg.dataset_train.max_frames)
+        val_loader.device_meta = RetrievalDeviceMeta(
+            val_store, val_loader.fixed_shapes,
+            cfg.dataset_val.max_frames)
     return train_set, val_set, train_loader, val_loader

@@ -144,6 +144,11 @@ class RetrievalDatasetConfig(trainer_configs.BaseDatasetConfig):
         # indices per batch; true/false force. The TPU-native analog of the
         # reference's RAM preload.
         self.preload_device = config.pop("preload_device", "auto")
+        # with the device store + fixed shapes: also upload the segment
+        # metadata and run frame sampling on device (host ships only
+        # datapoint ids). Train jitter then uses the jax PRNG (same
+        # distribution as the reference's numpy jitter, different stream).
+        self.sample_on_device: bool = config.pop("sample_on_device", True)
         assert self.data_type == ExperimentTypesConst.RETRIEVAL
         assert self.frames_noise >= 0 and self.words_noise >= 0
 

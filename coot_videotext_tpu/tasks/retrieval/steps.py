@@ -43,7 +43,8 @@ def make_retrieval_train_step(
         loss_weights: Dict[str, float], margin: float,
         loss_cycle_cons: float, clip_gradient: float = -1.0,
         mesh=None, use_store: bool = False,
-        frames_noise: float = 0.0, words_noise: float = 0.0) -> Callable:
+        frames_noise: float = 0.0, words_noise: float = 0.0,
+        device_sampling: Optional[Dict[str, Any]] = None) -> Callable:
     """
     Build the jitted train step:
         step(state, batch, lr, rng) -> (new_state, metrics)
@@ -51,17 +52,31 @@ def make_retrieval_train_step(
         step(state, batch, lr, rng, vid_store, text_store) -> same —
     the batch then carries int32 gather indices and the dense features are
     materialized on device (with on-device truncnorm feature noise).
+    With device_sampling (= {"shapes", "max_frames"}; requires use_store)
+    the batch is just {"dp_idx", "batch_valid"} and frame sampling + index
+    construction run on device too (tables passed as the last arg) — the
+    host ships a few hundred bytes per step.
 
     metrics holds the loss parts (loss_total/loss_contrastive/loss_cc/...)
     and, when clip_gradient > 0, the pre-clip grad norm (the reference only
     computes the norm when clipping, trainer_base.py:545-554).
     """
+    if device_sampling is not None:
+        assert use_store
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
                 lr: jnp.ndarray, rng: jax.Array,
-                vid_store=None, text_store=None
+                vid_store=None, text_store=None, tables=None
                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        rng_dropout, rng_cc, rng_noise = jax.random.split(rng, 3)
+        rng_dropout, rng_cc, rng_noise, rng_sample = \
+            jax.random.split(rng, 4)
+        if device_sampling is not None:
+            from coot_videotext_tpu.data.device_store import (
+                device_sample_batch)
+            batch = device_sample_batch(
+                tables, batch["dp_idx"], device_sampling["shapes"],
+                device_sampling["max_frames"], rng=rng_sample,
+                batch_valid=batch["batch_valid"])
         if use_store:
             from coot_videotext_tpu.data.device_store import (
                 gather_dense_batch)
@@ -103,6 +118,8 @@ def make_retrieval_train_step(
     shardings = [rep, data, rep, rep]
     if use_store:
         shardings += [rep, rep]  # stores replicated across the mesh
+    if device_sampling is not None:
+        shardings += [rep]  # metadata tables replicated
     return jax.jit(
         step_fn,
         in_shardings=tuple(shardings),
@@ -112,7 +129,9 @@ def make_retrieval_train_step(
 
 def make_retrieval_eval_step(model, *, loss_weights: Dict[str, float],
                              margin: float, loss_cycle_cons: float,
-                             mesh=None, use_store: bool = False) -> Callable:
+                             mesh=None, use_store: bool = False,
+                             device_sampling: Optional[Dict[str, Any]]
+                             = None) -> Callable:
     """
     Build the jitted eval step:
         eval_step(params, batch, rng) -> (embeddings dict, loss parts)
@@ -125,8 +144,16 @@ def make_retrieval_eval_step(model, *, loss_weights: Dict[str, float],
     """
 
     def eval_fn(params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
-                vid_store=None, text_store=None
+                vid_store=None, text_store=None, tables=None
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        if device_sampling is not None:
+            from coot_videotext_tpu.data.device_store import (
+                device_sample_batch)
+            # rng=None: deterministic center sampling (reference val path)
+            batch = device_sample_batch(
+                tables, batch["dp_idx"], device_sampling["shapes"],
+                device_sampling["max_frames"], rng=None,
+                batch_valid=batch["batch_valid"])
         if use_store:
             from coot_videotext_tpu.data.device_store import (
                 gather_dense_batch)
@@ -168,6 +195,8 @@ def make_retrieval_eval_step(model, *, loss_weights: Dict[str, float],
     shardings = [rep, data, rep]
     if use_store:
         shardings += [rep, rep]
+    if device_sampling is not None:
+        shardings += [rep]
     return jax.jit(eval_fn, in_shardings=tuple(shardings),
                    out_shardings=(data, rep))
 

@@ -99,26 +99,44 @@ class RetrievalTrainer(BaseTrainer):
 
         self.hook_post_init()
 
-    def _get_train_step(self, use_store: bool):
-        if use_store not in self._train_steps:
-            self._train_steps[use_store] = make_retrieval_train_step(
+    @staticmethod
+    def _loader_mode(loader):
+        """(use_store, device_sampling_cfg, extra step args) per loader."""
+        store = getattr(loader, "device_store", None)
+        meta = getattr(loader, "device_meta", None)
+        if meta is not None:
+            sampling = {"shapes": meta.shapes,
+                        "max_frames": meta.max_frames}
+            args = (store.vid_store, store.text_store, meta.tables)
+            return True, sampling, args
+        if store is not None:
+            return True, None, (store.vid_store, store.text_store)
+        return False, None, ()
+
+    def _get_train_step(self, use_store, sampling):
+        key = (use_store, sampling is not None)
+        if key not in self._train_steps:
+            self._train_steps[key] = make_retrieval_train_step(
                 self.model_mgr.model_train, self.optimizer,
                 loss_weights=self._loss_weights, margin=self._margin,
                 loss_cycle_cons=self.cfg.train.loss_cycle_cons,
                 clip_gradient=self.cfg.train.clip_gradient,
                 mesh=self.mesh, use_store=use_store,
                 frames_noise=self.cfg.dataset_train.frames_noise,
-                words_noise=self.cfg.dataset_train.words_noise)
-        return self._train_steps[use_store]
+                words_noise=self.cfg.dataset_train.words_noise,
+                device_sampling=sampling)
+        return self._train_steps[key]
 
-    def _get_eval_step(self, use_store: bool):
-        if use_store not in self._eval_steps:
-            self._eval_steps[use_store] = make_retrieval_eval_step(
+    def _get_eval_step(self, use_store, sampling):
+        key = (use_store, sampling is not None)
+        if key not in self._eval_steps:
+            self._eval_steps[key] = make_retrieval_eval_step(
                 self.model_mgr.model_eval, loss_weights=self._loss_weights,
                 margin=self._margin,
                 loss_cycle_cons=self.cfg.train.loss_cycle_cons,
-                mesh=self.mesh, use_store=use_store)
-        return self._eval_steps[use_store]
+                mesh=self.mesh, use_store=use_store,
+                device_sampling=sampling)
+        return self._eval_steps[key]
 
     # ---------- state accessors for checkpointing ----------
 
@@ -142,10 +160,8 @@ class RetrievalTrainer(BaseTrainer):
 
     def train_model(self, train_loader, val_loader) -> None:
         self.hook_pre_train()
-        store = getattr(train_loader, "device_store", None)
-        train_step = self._get_train_step(store is not None)
-        store_args = ((store.vid_store, store.text_store)
-                      if store is not None else ())
+        use_store, sampling, store_args = self._loader_mode(train_loader)
+        train_step = self._get_train_step(use_store, sampling)
         for _epoch in range(self.state.current_epoch,
                             self.cfg.train.num_epochs):
             if self.check_early_stop():
@@ -204,10 +220,8 @@ class RetrievalTrainer(BaseTrainer):
         num_steps = 0
         rng = jax.random.PRNGKey(42)
 
-        store = getattr(val_loader, "device_store", None)
-        eval_step = self._get_eval_step(store is not None)
-        store_args = ((store.vid_store, store.text_store)
-                      if store is not None else ())
+        use_store, sampling, store_args = self._loader_mode(val_loader)
+        eval_step = self._get_eval_step(use_store, sampling)
         for batch, meta in prefetch_to_device(
                 val_loader, sharding=self._data_sharding):
             t0 = timer()

@@ -161,3 +161,30 @@ def test_validate_with_embedding_export(synth_data, tmp_path):
         norms = np.linalg.norm(np.asarray(h5["vid_emb"]), axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-4)
     trainer.close()
+
+
+def test_device_sampling_full_pipeline(synth_data, tmp_path):
+    """Fully device-resident pipeline: fixed shapes + HBM store + on-device
+    sampling (host ships datapoint ids only). Train 1 epoch + validate."""
+    root, overrides = synth_data
+    log_dir = str(tmp_path / "experiments")
+    cfg = make_cfg(overrides, num_epochs=1)
+    _, val_set, train_loader, val_loader = \
+        create_retrieval_datasets_and_loaders(
+            cfg, root, seed=0, fixed_shapes=True, device_preload=True)
+    assert train_loader.device_meta is not None
+    batch = next(iter(train_loader))
+    assert set(batch) >= {"dp_idx", "batch_valid", "key"}
+    assert batch["dp_idx"].shape == (cfg.train.batch_size,)
+
+    mgr = RetrievalModelManager(cfg)
+    trainer = RetrievalTrainer(cfg, mgr, "default", "devsample", "run1",
+                               len(train_loader), log_dir=log_dir)
+    trainer.train_model(train_loader, val_loader)
+    assert trainer.state.current_epoch == 1
+    losses = [v for _, v in
+              trainer.metrics.storage_epoch["val_base/loss"]]
+    assert np.isfinite(losses).all()
+    loss, score, _ = trainer.validate_epoch(val_loader, val_clips=True)
+    assert np.isfinite(loss) and 0 <= score <= 1
+    trainer.close()
