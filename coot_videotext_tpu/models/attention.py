@@ -65,14 +65,40 @@ def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray],
     return jax.nn.softmax(scores, axis=axis)
 
 
+def _use_pallas_attention(use_pallas: Optional[bool], lk: int,
+                          dropout_active: bool) -> bool:
+    """
+    Resolve the pallas-attention knob. None = auto: the fused kernel
+    (ops/pallas_attention.py) measured FASTER than the XLA path on the
+    real v5e chip for Lk >= 128 (L=512, dh=48: fwd 3.8 vs 5.5ms, bwd 5.4
+    vs 10.1ms) and slightly slower below; auto enables it on the tpu
+    backend for Lk >= 128 when attention dropout is off (the kernel fuses
+    softmax+PV, so probabilities aren't materialized to drop).
+    """
+    import os
+    if dropout_active:
+        return False
+    if use_pallas is None:
+        env = os.environ.get("COOT_TPU_PALLAS_ATTENTION")
+        if env is not None:
+            return env not in ("0", "false", "False")
+        return jax.default_backend() == "tpu" and lk >= 128
+    if use_pallas:
+        return jax.default_backend() == "tpu"
+    return False
+
+
 class MultiHeadAttention(nn.Module):
-    """Multi-head attention (reference transformer_legacy.py:470)."""
+    """Multi-head attention (reference transformer_legacy.py:470).
+    `use_pallas`: None = auto, True/False = force (see
+    _use_pallas_attention)."""
     num_heads: int
     d_model: int
     dropout: float = 0.0
     init_type: str = "truncnorm"
     init_std: float = 0.01
     dtype: Dtype = jnp.float32
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
@@ -100,6 +126,24 @@ class MultiHeadAttention(nn.Module):
             b, lk, self.num_heads, d_head)
         v = dense("value_projection")(value).reshape(
             b, lk, self.num_heads, d_head)
+
+        dropout_active = self.dropout > 0 and not deterministic
+        if (mask is not None and _use_pallas_attention(
+                self.use_pallas, lk, dropout_active)):
+            from coot_videotext_tpu.ops.pallas_attention import (
+                pallas_masked_attention)
+            h = self.num_heads
+            qf = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d_head)
+            kf = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d_head)
+            vf = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d_head)
+            mf = jnp.broadcast_to(mask[:, None], (b, h) + mask.shape[1:])
+            mf = jnp.broadcast_to(mf, (b, h, lq, lk)).reshape(
+                b * h, lq, lk)
+            ctx = pallas_masked_attention(
+                qf, kf, vf, mf, 1.0 / float(d_head) ** 0.5)
+            ctx = ctx.reshape(b, h, lq, d_head).transpose(0, 2, 1, 3)
+            ctx = ctx.astype(self.dtype).reshape(b, lq, self.d_model)
+            return dense("final_projection")(ctx)
 
         # (B, H, Lq, Lk) logits; accumulate in f32 on the MXU
         scores = einsum_f32("bqhd,bkhd->bhqk", q, k)
