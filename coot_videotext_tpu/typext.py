@@ -115,3 +115,102 @@ class SaveableState:
         obj = cls()
         obj.load(file)
         return obj
+
+
+# ---------- TypedNamedTuple: shape-validated data tuples ----------
+
+TENSOR_TYPES = None  # resolved lazily to avoid importing jax at module load
+
+
+def _tensor_types():
+    global TENSOR_TYPES
+    if TENSOR_TYPES is None:
+        import jax
+        import numpy as np
+        TENSOR_TYPES = (np.ndarray, jax.Array)
+    return TENSOR_TYPES
+
+
+def nested_shape_check(field_name: str, tensor_container: Any,
+                       shape: List[Optional[int]]) -> None:
+    """
+    Check a tensor (or any container of tensors) against a shape spec with
+    None wildcards (reference typext.py:111 _nested_shape_check). Raises
+    AssertionError on shape mismatch, TypeError on non-tensor leaves.
+    """
+    from collections.abc import Iterable, Mapping
+    if isinstance(tensor_container, _tensor_types()):
+        value_shape = tensor_container.shape
+        err = (f"Shape mismatch, input {value_shape} defined {shape} "
+               f"on field {field_name}")
+        assert len(value_shape) == len(shape), err
+        for s1, s2 in zip(value_shape, shape):
+            assert s2 is None or s1 == s2, err
+    elif isinstance(tensor_container, Mapping):
+        for sub in tensor_container.values():
+            nested_shape_check(field_name, sub, shape)
+    elif isinstance(tensor_container, Iterable):
+        for sub in tensor_container:
+            nested_shape_check(field_name, sub, shape)
+    else:
+        raise TypeError(
+            f"Tensor shape check on class {type(tensor_container)} not "
+            f"supported, field {field_name}.")
+
+
+class TypedNamedTuple:
+    """
+    NamedTuple-style container with runtime tensor shape validation
+    (reference typext.py:235 TypedNamedTuple, minus the torch/pydantic
+    machinery; `to_cuda` has no equivalent — device placement is the
+    pipeline's `device_put`). Subclass with annotated fields and an
+    optional `_shapes_dict` of shape specs (None = wildcard dim):
+
+        class Batch(TypedNamedTuple):
+            key: str
+            data: jnp.ndarray
+            _shapes_dict = {"data": (None, 6)}
+    """
+
+    _shapes_dict: Dict[str, Any] = {}
+
+    def __init__(self, *args, **kwargs) -> None:
+        fields = [f for f in type(self).__annotations__
+                  if not f.startswith("_")]
+        assert len(args) <= len(fields), (
+            f"Too many ({len(args)}) arguments for "
+            f"{type(self).__name__}")
+        for field, arg in zip(fields, args):
+            assert field not in kwargs, (
+                f"Duplicate argument '{field}' for "
+                f"{type(self).__name__}.")
+            kwargs[field] = arg
+        missing = [f for f in fields if f not in kwargs]
+        assert not missing, (
+            f"Missing arguments {missing} for {type(self).__name__}")
+        self._fields = fields
+        for field in fields:
+            setattr(self, field, kwargs[field])
+        self.validate_shapes()
+
+    def __len__(self) -> int:
+        return len(self._fields)
+
+    def dict(self) -> Dict[str, Any]:
+        return {f: getattr(self, f) for f in self._fields}
+
+    def tuple(self) -> tuple:
+        return tuple(self.dict().values())
+
+    def keys(self):
+        return self.dict().keys()
+
+    def values(self):
+        return self.dict().values()
+
+    def items(self):
+        return self.dict().items()
+
+    def validate_shapes(self) -> None:
+        for key, shape in self._shapes_dict.items():
+            nested_shape_check(key, getattr(self, key), shape)

@@ -127,3 +127,48 @@ def test_text_preprocessing() -> None:
         end_paragraph_token="[EOP]", remove_ending_dot=False,
         replace_inside_dots=True)
     assert output == truth, f"Failed:\n{output}\n{truth}"
+
+
+def test_typed_named_tuple() -> None:
+    """Shape-validated tuples (reference tests_nntrainer/test_types.py)."""
+    import jax.numpy as jnp
+    from coot_videotext_tpu.typext import TypedNamedTuple
+
+    class ExampleTuple(TypedNamedTuple):
+        key: str
+        data: "jnp.ndarray"
+        _shapes_dict = {"data": (None, 6)}
+
+    t = ExampleTuple("k", jnp.zeros((4, 6)))
+    assert t.key == "k"
+    assert t.dict()["key"] == "k"
+    assert t.tuple()[0] == "k"
+    assert len(t) == 2
+    with pytest.raises(AssertionError):
+        ExampleTuple("k", jnp.zeros((4, 7)))
+    with pytest.raises(AssertionError):
+        ExampleTuple("k", jnp.zeros((4, 6, 1)))
+    # nested containers are checked recursively
+    class ListTuple(TypedNamedTuple):
+        items: list
+        _shapes_dict = {"items": (2,)}
+    ListTuple([np.zeros(2), np.zeros(2)])
+    with pytest.raises(AssertionError):
+        ListTuple([np.zeros(2), np.zeros(3)])
+
+
+def test_profiling_smoke() -> None:
+    """Profiler + seeding smoke (reference test_profiling/test_torchutils)."""
+    from coot_videotext_tpu.utils.profiling import (
+        count_parameters, profile_device_and_ram, set_seed)
+    stats = profile_device_and_ram()
+    assert stats["ram_total"] > 0
+    assert 0 <= stats["ram_percent"] <= 1
+    set_seed(7)
+    a = np.random.randint(0, 1000, 5)
+    set_seed(7)
+    b = np.random.randint(0, 1000, 5)
+    np.testing.assert_array_equal(a, b)
+    total, trainable = count_parameters({"w": np.zeros((3, 4)),
+                                         "b": np.zeros(4)})
+    assert total == trainable == 16
