@@ -75,6 +75,9 @@ class BaseExperimentConfig(typext.ConfigClass):
             "mesh_shape", None)
         self.compute_dtype: str = config.pop(
             "compute_dtype", "bfloat16" if self.fp16_train else "float32")
+        # device PRNG implementation; None = auto (rbg on TPU — much
+        # faster dropout-mask generation — threefry elsewhere)
+        self.prng_impl: Optional[str] = config.pop("prng_impl", None)
 
     def post_init(self) -> None:
         if self.strict:

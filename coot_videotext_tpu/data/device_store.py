@@ -343,8 +343,9 @@ def device_sample_batch(tables: Dict[str, jnp.ndarray],
             lambda k, o, nf: _sample_frame_indices(k, o, nf, lv,
                                                    max_frames))(
             vkeys, vid_off, vid_nf)
-        ckeys = jax.random.split(rng_c, b * n_parts).reshape(
-            b, n_parts, 2)
+        ckeys = jax.random.split(rng_c, b * n_parts)
+        # keep trailing key-data dims (width differs per PRNG impl)
+        ckeys = ckeys.reshape((b, n_parts) + ckeys.shape[1:])
         clip_idx, clip_mask, clip_len = jax.vmap(jax.vmap(
             lambda k, o, nf: _sample_frame_indices(k, o, nf, lc,
                                                    max_frames)))(

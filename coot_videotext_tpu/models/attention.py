@@ -68,12 +68,18 @@ def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray],
 def _use_pallas_attention(use_pallas: Optional[bool], lk: int,
                           dropout_active: bool) -> bool:
     """
-    Resolve the pallas-attention knob. None = auto: the fused kernel
-    (ops/pallas_attention.py) measured FASTER than the XLA path on the
-    real v5e chip for Lk >= 128 (L=512, dh=48: fwd 3.8 vs 5.5ms, bwd 5.4
-    vs 10.1ms) and slightly slower below; auto enables it on the tpu
-    backend for Lk >= 128 when attention dropout is off (the kernel fuses
-    softmax+PV, so probabilities aren't materialized to drop).
+    Resolve the pallas-attention knob. None = auto: honest chain-difference
+    timing on the real v5e chip (scan-chained steps; the tunnel's
+    block_until_ready is a no-op, so naive timings are dispatch-only) shows
+    the fused kernel (ops/pallas_attention.py) wins only at long sequences:
+    n=512 L=512 dh=48 bwd 2.7ms pallas vs 5.6ms XLA (fwd at/under noise vs
+    1.8ms), a wash at L=128, and a clear LOSS at COOT's typical L=80
+    (n=4096 dh=48: bwd 7.7ms pallas vs 0.6ms XLA — the flash-style
+    recompute doesn't pay off when the whole row of scores fits in VMEM
+    anyway). Auto therefore enables it on the tpu backend only for
+    Lk >= 256 with attention dropout off (the kernel fuses softmax+PV, so
+    probabilities aren't materialized to drop); COOT/MART's stock shapes
+    stay on the XLA path.
     """
     import os
     if dropout_active:
@@ -82,7 +88,7 @@ def _use_pallas_attention(use_pallas: Optional[bool], lk: int,
         env = os.environ.get("COOT_TPU_PALLAS_ATTENTION")
         if env is not None:
             return env not in ("0", "false", "False")
-        return jax.default_backend() == "tpu" and lk >= 128
+        return jax.default_backend() == "tpu" and lk >= 256
     if use_pallas:
         return jax.default_backend() == "tpu"
     return False

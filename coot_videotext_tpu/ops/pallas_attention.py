@@ -13,9 +13,18 @@ Numerics match models/attention.py masked_softmax exactly: f32 scores,
 key axis. A custom VJP recomputes the probabilities in the backward kernel
 (flash-style) instead of storing them.
 
-Opt-in: models.attention.MultiHeadAttention(use_pallas=True) or the
-COOT_TPU_PALLAS_ATTENTION=1 environment variable. Falls back to the XLA
-path on CPU (pallas TPU kernels don't run on the CPU backend).
+MEASURED on the real v5e chip with chain-difference timing (the tunnel's
+block_until_ready is a no-op; see bench.py for the methodology): the fused
+kernel wins only at long sequences — n=512 L=512 dh=48: bwd 2.7ms vs XLA
+5.6ms (fwd at/under measurement noise vs 1.8ms); a wash at L=128; and
+LOSES badly at COOT's stock L=80 (n=4096 dh=48: bwd 7.7ms vs 0.6ms —
+recomputing probabilities costs more than XLA's materialize-and-reuse
+when the whole score row fits in VMEM). The auto heuristic in
+models/attention.py therefore only engages this kernel for Lk >= 256.
+
+Opt-in/force: models.attention.MultiHeadAttention(use_pallas=True/False)
+or the COOT_TPU_PALLAS_ATTENTION=1/0 environment variable. Falls back to
+the XLA path on CPU (pallas TPU kernels don't run on the CPU backend).
 """
 
 from __future__ import annotations

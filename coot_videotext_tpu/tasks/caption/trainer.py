@@ -107,10 +107,13 @@ class MartTrainer(BaseTrainer):
         for meter_name in TRANSLATION_METRICS.values():
             self.metrics.add_meter(meter_name, use_avg=False)
 
-        # optimization (reference :190-209)
+        # optimization (reference :190-209); freeze_glove pins the word
+        # embeddings via a zero-update mask (reference model.py:79-85)
+        frozen = (("word_embeddings",) if cfg.use_glove
+                  and cfg.freeze_glove else ())
         self.optimizer = make_bertadam(
             beta1=0.9, beta2=0.999, eps=cfg.eps, weight_decay=0.01,
-            max_grad_norm=1.0)
+            max_grad_norm=1.0, frozen_names=frozen)
         self.t_total = train_loader_length * cfg.train.num_epochs
         self.lr_scheduler = None  # schedule computed inline (warmup_linear)
 

@@ -44,7 +44,8 @@ def make_retrieval_train_step(
         loss_cycle_cons: float, clip_gradient: float = -1.0,
         mesh=None, use_store: bool = False,
         frames_noise: float = 0.0, words_noise: float = 0.0,
-        device_sampling: Optional[Dict[str, Any]] = None) -> Callable:
+        device_sampling: Optional[Dict[str, Any]] = None,
+        state_shardings=None) -> Callable:
     """
     Build the jitted train step:
         step(state, batch, lr, rng) -> (new_state, metrics)
@@ -115,7 +116,10 @@ def make_retrieval_train_step(
         return jax.jit(step_fn, donate_argnums=(0,))
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
-    shardings = [rep, data, rep, rep]
+    # with a `model` mesh axis, state_shardings (parallel/tp.py) carries
+    # the tensor-parallel parameter layout; default is replicated params
+    state_sh = state_shardings if state_shardings is not None else rep
+    shardings = [state_sh, data, rep, rep]
     if use_store:
         shardings += [rep, rep]  # stores replicated across the mesh
     if device_sampling is not None:
@@ -123,7 +127,7 @@ def make_retrieval_train_step(
     return jax.jit(
         step_fn,
         in_shardings=tuple(shardings),
-        out_shardings=(rep, rep),
+        out_shardings=(state_sh, rep),
         donate_argnums=donate_argnums_for(mesh))
 
 
@@ -209,3 +213,88 @@ def init_train_state(model, optimizer: Optimizer, rng: jax.Array,
     params = variables["params"]
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, jnp.int32(0))
+
+
+def make_retrieval_train_scan(
+        model, optimizer: Optimizer, *,
+        loss_weights: Dict[str, float], margin: float,
+        loss_cycle_cons: float, clip_gradient: float = -1.0,
+        mesh=None, frames_noise: float = 0.0, words_noise: float = 0.0,
+        device_sampling: Dict[str, Any] = None,
+        state_shardings=None) -> Callable:
+    """
+    Multi-step dispatch fusion: scan K train steps inside ONE jitted
+    program. Requires the fully device-resident pipeline
+    (device_sampling): the host ships a (K, B) datapoint-id array and a
+    (K, B) validity array for the whole group — one dispatch per K steps
+    instead of per step, eliminating per-step host round trips entirely.
+
+        scan_step(state, dp_idx (K,B), batch_valid (K,B), lr, rng,
+                  vid_store, text_store, tables)
+            -> (state, metrics stacked over K)
+
+    The learning rate is constant within a group — identical semantics to
+    per-step dispatch for the epoch-driven schedulers the retrieval task
+    uses (reduce-on-plateau; per-step warmup callers should keep K=1).
+    """
+    assert device_sampling is not None
+
+    def group_fn(state: TrainState, dp_idx: jnp.ndarray,
+                 batch_valid: jnp.ndarray, lr: jnp.ndarray,
+                 rng: jax.Array, vid_store, text_store, tables):
+        from coot_videotext_tpu.data.device_store import (
+            device_sample_batch, gather_dense_batch)
+
+        def body(carry, xs):
+            state = carry
+            ids, bv, key = xs
+            k_sample, k_noise, k_drop, k_cc = jax.random.split(key, 4)
+            batch = device_sample_batch(
+                tables, ids, device_sampling["shapes"],
+                device_sampling["max_frames"], rng=k_sample,
+                batch_valid=bv)
+            batch = gather_dense_batch(
+                batch, vid_store, text_store, frames_noise=frames_noise,
+                words_noise=words_noise, rng=k_noise)
+
+            def loss_fn(params):
+                out = model.apply({"params": params}, batch,
+                                  deterministic=False,
+                                  rngs={"dropout": k_drop})
+                visual = {k: out[k] for k in
+                          ("vid_emb", "clip_emb", "vid_context",
+                           "clip_valid", "clip_num")}
+                text = {k: out[k] for k in
+                        ("par_emb", "sent_emb", "par_context",
+                         "sent_valid", "sent_num")}
+                loss, parts = compute_total_retrieval_loss(
+                    visual, text, loss_weights, margin, loss_cycle_cons,
+                    rng=k_cc, batch_valid=batch["batch_valid"])
+                return loss, parts
+
+            (_, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            if clip_gradient > 0:
+                grads, norm = clip_by_global_norm(grads, clip_gradient)
+                parts = dict(parts, grad_norm=norm)
+            new_params, new_opt = optimizer.update(
+                grads, state.opt_state, state.params, lr)
+            return TrainState(new_params, new_opt,
+                              state.step + 1), parts
+
+        keys = jax.random.split(rng, dp_idx.shape[0])
+        state, metrics = jax.lax.scan(body, state,
+                                      (dp_idx, batch_valid, keys))
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(group_fn, donate_argnums=(0,))
+    rep = replicated_sharding(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    kdata = NamedSharding(mesh, P(None, "data"))
+    state_sh = state_shardings if state_shardings is not None else rep
+    return jax.jit(
+        group_fn,
+        in_shardings=(state_sh, kdata, kdata, rep, rep, rep, rep, rep),
+        out_shardings=(state_sh, rep),
+        donate_argnums=donate_argnums_for(mesh))

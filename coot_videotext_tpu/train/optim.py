@@ -176,7 +176,9 @@ class BertAdamState(NamedTuple):
 def make_bertadam(beta1: float = 0.9, beta2: float = 0.999,
                   eps: float = 1e-6, weight_decay: float = 0.01,
                   max_grad_norm: float = 1.0,
-                  no_decay_names: Tuple[str, ...] = ("bias", "scale", "gain")
+                  no_decay_names: Tuple[str, ...] = ("bias", "scale",
+                                                     "gain"),
+                  frozen_names: Tuple[str, ...] = ()
                   ) -> Optimizer:
     """
     BertAdam (reference mart/optimization.py:250): NO bias correction,
@@ -187,6 +189,9 @@ def make_bertadam(beta1: float = 0.9, beta2: float = 0.999,
     no_decay_names: param name substrings exempt from decay (the MART trainer
     exempts bias and LayerNorm params, trainer_caption.py:190-195; flax
     layer-norm params here are named scale/gain/bias).
+    frozen_names: param name substrings that receive NO update — used for
+    freeze_glove (reference model.py:79-85 freezes the pretrained word
+    embedding via requires_grad).
     """
 
     def init(params: PyTree) -> BertAdamState:
@@ -194,19 +199,20 @@ def make_bertadam(beta1: float = 0.9, beta2: float = 0.999,
         return BertAdamState(step=jnp.zeros((), jnp.int32), mu=zeros,
                              nu=jax.tree.map(jnp.copy, zeros))
 
-    def _no_decay_mask(params):
+    def _name_mask(params, names):
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
         treedef = jax.tree_util.tree_structure(params)
         mults = []
         for path, _leaf in flat:
             name = "/".join(str(getattr(p, "key", p)) for p in path)
-            nodecay = any(nd in name for nd in no_decay_names)
-            mults.append(0.0 if nodecay else 1.0)
+            mults.append(0.0 if any(nd in name for nd in names) else 1.0)
         return jax.tree_util.tree_unflatten(treedef, mults)
 
     def update(grads, state, params, lr):
         step = state.step + 1
-        dmask = _no_decay_mask(params)
+        dmask = _name_mask(params, no_decay_names)
+        fmask = (_name_mask(params, frozen_names) if frozen_names
+                 else jax.tree.map(lambda p: 1.0, params))
 
         def clip(g):
             g = g.astype(jnp.float32)
@@ -222,12 +228,12 @@ def make_bertadam(beta1: float = 0.9, beta2: float = 0.999,
         nu = jax.tree.map(lambda v, g: beta2 * v + (1 - beta2) * jnp.square(g),
                           state.nu, grads)
 
-        def upd(p, m, v, dm):
+        def upd(p, m, v, dm, fm):
             p32 = p.astype(jnp.float32)
             upd_val = m / (jnp.sqrt(v) + eps) + weight_decay * dm * p32
-            return (p32 - lr * upd_val).astype(p.dtype)
+            return (p32 - lr * fm * upd_val).astype(p.dtype)
 
-        new_params = jax.tree.map(upd, params, mu, nu, dmask)
+        new_params = jax.tree.map(upd, params, mu, nu, dmask, fmask)
         return new_params, BertAdamState(step=step, mu=mu, nu=nu)
 
     return Optimizer(init=init, update=update)

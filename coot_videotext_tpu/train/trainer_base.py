@@ -68,6 +68,14 @@ class BaseTrainer:
 
         # device mesh (replaces cuda/DataParallel setup, reference :119-133)
         self.mesh = get_mesh(getattr(cfg, "mesh_shape", None))
+        # rbg PRNG on TPU: measured 21ms/step cheaper than threefry for
+        # dropout-mask generation on the yc2_2d3d workload (dropout is
+        # augmentation randomness; stream differs from threefry)
+        prng_impl = getattr(cfg, "prng_impl", None)
+        if prng_impl is None and jax.default_backend() == "tpu":
+            prng_impl = "rbg"
+        if prng_impl:
+            jax.config.update("jax_default_prng_impl", prng_impl)
         self.logger.info(
             f"Mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}"
             f" on {self.mesh.devices.size} x "
