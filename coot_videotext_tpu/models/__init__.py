@@ -11,7 +11,8 @@ from coot_videotext_tpu.models.attention import (
     MultiHeadAttention, PointwiseFeedForward, TransformerDecoder,
     TransformerEncoder, TransformerEncoderLayer, masked_softmax)
 from coot_videotext_tpu.models.poolers import (
-    GenPool, MultiGenPool, TemporalAvgPool, make_pooler)
+    GenPool, MultiGenPool, TemporalAvgPool, TemporalAvgPoolMasked,
+    make_pooler)
 from coot_videotext_tpu.models.transformer import CootTransformer
 from coot_videotext_tpu.models.retrieval import (
     RetrievalModel, RetrievalNetworksConst)
@@ -26,6 +27,7 @@ __all__ = [
     "make_normalization", "sincos_positional_encoding",
     "MultiHeadAttention", "PointwiseFeedForward", "TransformerDecoder",
     "TransformerEncoder", "TransformerEncoderLayer", "masked_softmax",
-    "GenPool", "MultiGenPool", "TemporalAvgPool", "make_pooler",
+    "GenPool", "MultiGenPool", "TemporalAvgPool",
+    "TemporalAvgPoolMasked", "make_pooler",
     "CootTransformer", "RetrievalModel", "RetrievalNetworksConst",
 ]

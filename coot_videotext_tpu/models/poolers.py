@@ -9,7 +9,11 @@ Parity with reference nntrainer/models/poolers.py:
       a future torch-checkpoint converter) line up.
     - MultiGenPool (:84): the reference feeds each pool's OUTPUT into the next
       pool, so only num_layers=1 is functional; all configs use 1, we assert.
-    - TemporalAvgPool (:232, "avg_special"): sum over valid / lengths.
+    - TemporalAvgPool (:232, "avg_special"): sum over the WHOLE padded
+      sequence / lengths — the reference ignores the mask here (quirk
+      reproduced exactly; verified against the torch net in
+      tests/test_torch_convert.py). The masked variant (reference
+      TemporalAvgPoolFixed :244, never instantiated there) backs "avg".
 
 Mask convention: True = valid.
 """
@@ -129,7 +133,27 @@ class MultiGenPool(nn.Module):
 
 
 class TemporalAvgPool(nn.Module):
-    """Masked mean over the sequence (reference poolers.py:232)."""
+    """
+    The reference's 'avg_special' pool (poolers.py:232): sums over the
+    ENTIRE sequence — padded positions included, which after key-masked
+    attention hold non-zero values — and divides by the valid length. The
+    mask is deliberately ignored; reproducing this quirk exactly is
+    required for converted reference checkpoints to match (the masked
+    variant exists in the reference as TemporalAvgPoolFixed :244 but is
+    never instantiated).
+    """
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
+                 lengths: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        summed = jnp.sum(features, axis=1)
+        return summed / jnp.maximum(
+            lengths.astype(features.dtype)[:, None], 1.0)
+
+
+class TemporalAvgPoolMasked(nn.Module):
+    """Masked mean (reference TemporalAvgPoolFixed poolers.py:244)."""
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
@@ -185,7 +209,7 @@ def make_pooler(cfg: PoolerConfig, d_input: int, init_type: str,
     if cfg.name == PoolerConst.MAX:
         return TemporalMaxPool(name=name)
     if cfg.name == PoolerConst.AVG:
-        return TemporalAvgPool(name=name)
+        return TemporalAvgPoolMasked(name=name)
     if cfg.name == PoolerConst.LAST:
         return TemporalLastPool(name=name)
     if cfg.name == PoolerConst.FIRST:

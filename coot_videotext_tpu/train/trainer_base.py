@@ -251,8 +251,14 @@ class BaseTrainer:
         if self.load_model:
             self.logger.info(
                 f"Loading model from checkpoint file {self.load_model}")
-            self.set_model_state(ckpt.restore_pytree(
-                self.load_model, self.get_model_state()))
+            if str(self.load_model).endswith(".pth"):
+                # reference torch checkpoint: convert on the fly
+                from coot_videotext_tpu.utils import torch_convert
+                self.set_model_state(torch_convert.convert_model_file(
+                    self.load_model, self.get_model_state()))
+            else:
+                self.set_model_state(ckpt.restore_pytree(
+                    self.load_model, self.get_model_state()))
             return
         self.logger.info(f"Loading Ep {self.load_ep}.")
         self._load_checkpoint(self.load_ep)

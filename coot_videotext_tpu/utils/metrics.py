@@ -22,8 +22,12 @@ from coot_videotext_tpu.utils.general import LOGGER_NAME
 
 try:
     from tensorboardX import SummaryWriter
-except ImportError:  # pragma: no cover
-    SummaryWriter = None
+except ImportError:
+    try:
+        # the torch-bundled writer speaks the same event format
+        from torch.utils.tensorboard import SummaryWriter
+    except ImportError:  # pragma: no cover
+        SummaryWriter = None
 
 
 class PrintGroupConst(ConstantHolder):

@@ -1,0 +1,225 @@
+"""
+Golden parity tests for the reference-checkpoint converter
+(utils/torch_convert.py): build the ACTUAL reference torch models from the
+read-only mount, convert their state dicts, and require our flax models to
+reproduce the torch forward outputs to float32 precision.
+
+The reference targets an older python; a small collections/ABC shim plus
+stubs for its unused host-utility deps (GPUtil, pathspec) make the model
+modules importable on 3.12. If the reference mount or torch model imports
+are unavailable the tests skip rather than fail.
+"""
+
+import sys
+import types
+from copy import deepcopy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from coot_videotext_tpu.utils.yaml_utils import load_yaml_config_file
+from coot_videotext_tpu.utils.general import (
+    resolve_sameas_config_recursively)
+from coot_videotext_tpu.utils import torch_convert
+
+REF = "/root/reference"
+RETRIEVAL_YAML = f"{REF}/config/retrieval/paper2020/yc2_100m_coot.yaml"
+CAPTION_YAML = f"{REF}/config/caption/paper2020/yc2_100m_coot_vidclip_mart.yaml"
+
+# feature dims of the yc2_100m setup (reference repo README / config)
+INPUT_DIMS = {"net_video_local": 512, "net_video_global": 384,
+              "net_text_local": 1536, "net_text_global": 384}
+
+
+def _import_reference():
+    """Import the reference torch model modules with py3.12 shims."""
+    import collections
+    import collections.abc
+    for name in ("Iterable", "Mapping", "Sequence", "Callable",
+                 "MutableMapping"):
+        setattr(collections, name, getattr(collections.abc, name))
+    for fake in ("GPUtil", "pathspec"):
+        if fake not in sys.modules:
+            sys.modules[fake] = types.ModuleType(fake)
+    if not hasattr(sys.modules["pathspec"], "PathSpec"):
+        sys.modules["pathspec"].PathSpec = type("PathSpec", (), {})
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    try:
+        from nntrainer.models import transformer_legacy  # noqa: F401
+        from mart import model as mart_model  # noqa: F401
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference torch models not importable: {exc}")
+    return transformer_legacy, mart_model
+
+
+@pytest.fixture(scope="module")
+def reference():
+    return _import_reference()
+
+
+@pytest.mark.parametrize("net_name",
+                         ["net_video_local", "net_video_global",
+                          "net_text_local", "net_text_global"])
+def test_coot_net_golden_parity(reference, net_name):
+    """Torch TransformerLegacy forward == converted flax CootTransformer."""
+    import torch
+    transformer_legacy, _ = reference
+    from coot_videotext_tpu.models.configs import (
+        TransformerConfig as OurTC)
+    from coot_videotext_tpu.models.transformer import CootTransformer
+
+    cfg_dict = load_yaml_config_file(RETRIEVAL_YAML)
+    resolve_sameas_config_recursively(cfg_dict)
+    d_in = INPUT_DIMS[net_name]
+
+    ref_cfg = transformer_legacy.TransformerConfig(
+        deepcopy(cfg_dict[net_name]))
+    torch.manual_seed(0)
+    ref_net = transformer_legacy.TransformerLegacy(ref_cfg, d_in).eval()
+
+    our_cfg = OurTC(deepcopy(cfg_dict[net_name]))
+    our_net = CootTransformer(cfg=our_cfg)
+
+    b, length = 3, 7
+    rng = np.random.RandomState(0)
+    feats = rng.randn(b, length, d_in).astype(np.float32)
+    lengths = np.array([7, 5, 3], dtype=np.int64)
+    valid = np.arange(length)[None, :] < lengths[:, None]
+    hidden = None
+    if our_cfg.use_context:
+        hidden = rng.randn(b, our_cfg.selfatn.hidden_dim).astype(np.float32)
+
+    with torch.no_grad():
+        # reference mask convention: 1 = PADDED (transformer_legacy.py:207)
+        tp, tseq = ref_net(
+            torch.from_numpy(feats), torch.from_numpy(~valid),
+            torch.from_numpy(lengths),
+            torch.from_numpy(hidden) if hidden is not None else None)
+    tp, tseq = tp.numpy(), tseq.numpy()
+
+    flat = torch_convert.convert_coot_net(
+        {k: v.numpy() for k, v in ref_net.state_dict().items()})
+    template = our_net.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(feats),
+        jnp.asarray(valid), jnp.asarray(lengths),
+        jnp.asarray(hidden) if hidden is not None else None,
+        deterministic=True)["params"]
+    params = torch_convert.apply_converted(template, flat)
+    op, oseq = our_net.apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray(valid),
+        jnp.asarray(lengths),
+        jnp.asarray(hidden) if hidden is not None else None,
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(op), tp, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(oseq), tseq, atol=2e-5)
+
+
+def test_mart_golden_parity(reference):
+    """Torch RecursiveTransformer == converted flax RecursiveTransformer."""
+    import torch
+    _, mart_model = reference
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+
+    vocab = 130
+    cfg = MartConfig(load_yaml_config_file(CAPTION_YAML))
+    model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
+
+    ref_cfg = types.SimpleNamespace(
+        hidden_size=cfg.hidden_size, vocab_size=vocab,
+        word_vec_size=cfg.word_vec_size,
+        video_feature_size=cfg.video_feature_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        type_vocab_size=cfg.type_vocab_size,
+        layer_norm_eps=cfg.layer_norm_eps,
+        hidden_dropout_prob=cfg.hidden_dropout_prob,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
+        intermediate_size=cfg.intermediate_size,
+        n_memory_cells=cfg.n_memory_cells,
+        memory_dropout_prob=cfg.memory_dropout_prob,
+        share_wd_cls_weight=cfg.share_wd_cls_weight,
+        label_smoothing=cfg.label_smoothing,
+        initializer_range=cfg.initializer_range,
+        max_v_len=cfg.max_v_len, max_t_len=cfg.max_t_len)
+    torch.manual_seed(0)
+    ref = mart_model.RecursiveTransformer(ref_cfg).eval()
+
+    s, n = 2, 3
+    length = cfg.max_v_len + cfg.max_t_len
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, vocab, (s, n, length)).astype(np.int64)
+    vids = rng.randn(s, n, length,
+                     cfg.video_feature_size).astype(np.float32)
+    masks = (rng.rand(s, n, length) > 0.2).astype(np.float32)
+    tokty = np.concatenate(
+        [np.zeros((s, n, cfg.max_v_len)),
+         np.ones((s, n, cfg.max_t_len))], -1).astype(np.int64)
+    labels = rng.randint(-1, vocab, (s, n, length)).astype(np.int64)
+
+    with torch.no_grad():
+        tloss, tscores = ref(
+            [torch.from_numpy(ids[i]) for i in range(s)],
+            [torch.from_numpy(vids[i]) for i in range(s)],
+            [torch.from_numpy(masks[i]) for i in range(s)],
+            [torch.from_numpy(tokty[i]) for i in range(s)],
+            [torch.from_numpy(labels[i]) for i in range(s)])
+    tscores = np.stack([t.numpy() for t in tscores])
+
+    flat = torch_convert.convert_mart_model_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(ids),
+        jnp.asarray(vids), jnp.asarray(masks), jnp.asarray(tokty),
+        jnp.asarray(labels), deterministic=True)["params"]
+    params = torch_convert.apply_converted(template, flat)
+    oloss, oscores = model.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(vids),
+        jnp.asarray(masks), jnp.asarray(tokty), jnp.asarray(labels),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(jnp.stack(list(oscores))),
+                               tscores, atol=3e-5)
+    assert abs(float(oloss) - float(tloss)) < 2e-3
+
+
+def test_full_retrieval_pth_roundtrip(reference, tmp_path):
+    """A 4-net model_<ep>.pth converts into a full RetrievalModel tree."""
+    import torch
+    transformer_legacy, _ = reference
+    from coot_videotext_tpu.tasks.retrieval.config import RetrievalConfig
+    from coot_videotext_tpu.tasks.retrieval.model_manager import (
+        RetrievalModelManager, build_dummy_retrieval_batch)
+
+    cfg_dict = load_yaml_config_file(RETRIEVAL_YAML)
+    resolved = deepcopy(cfg_dict)
+    resolve_sameas_config_recursively(resolved)
+    state = {}
+    torch.manual_seed(0)
+    for net_name, d_in in INPUT_DIMS.items():
+        ref_cfg = transformer_legacy.TransformerConfig(
+            deepcopy(resolved[net_name]))
+        net = transformer_legacy.TransformerLegacy(ref_cfg, d_in)
+        state[net_name] = net.state_dict()
+    pth = tmp_path / "model_0.pth"
+    torch.save(state, pth)
+
+    cfg = RetrievalConfig(load_yaml_config_file(RETRIEVAL_YAML))
+    mgr = RetrievalModelManager(cfg)
+    batch = build_dummy_retrieval_batch(cfg, batch_size=2)
+    template = {"params": mgr.init_params(0, batch)}
+    converted = torch_convert.convert_model_file(str(pth), template)
+
+    # strict coverage already validated inside; spot-check one leaf value
+    w_t = state["net_video_local"][
+        "tf.encoder_layers.0.self_attention_layer.sublayer."
+        "query_projection.weight"].numpy()
+    w_j = np.asarray(
+        converted["params"]["net_video_local"]["tf"]["layer_0"]
+        ["self_attention"]["query_projection"]["kernel"])
+    np.testing.assert_allclose(w_j, w_t.T)
