@@ -190,6 +190,8 @@ def gather_dense_batch(batch: Dict[str, jnp.ndarray],
                                         ("par_feat", words_noise),
                                         ("sent_feat", words_noise))):
             if noise:
+                # (measured: drawing in bf16 instead of f32 does not change
+                # step time on v5e — the cost is elsewhere — so keep f32)
                 tn = jax.random.truncated_normal(
                     keys[i], -2.0, 2.0, out[k].shape, jnp.float32) * noise
                 out[k] = out[k] + tn.astype(out[k].dtype)

@@ -50,19 +50,39 @@ def einsum_f32(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray],
-                   axis: int = -1) -> jnp.ndarray:
+                   axis: int = -1,
+                   out_dtype: Optional[Dtype] = None) -> jnp.ndarray:
     """
-    Softmax with -INF fill on invalid positions, computed in float32
-    (reference transformer_legacy.py:544 masked_fill with -INF).
+    Softmax with -INF fill on invalid positions (reference
+    transformer_legacy.py:544 masked_fill with -INF).
+
+    out_dtype=float32 (default): everything in f32 — bit-matches the
+    reference's fp32 path and our golden parity tests.
+
+    out_dtype=bfloat16: the big (..., q, k) tensors are STORED in bf16
+    with reductions in f32 — mirroring the reference's AMP fp16 path
+    (autocast matmul emits fp16 scores, masked_fill runs in fp16 with the
+    fp16-safe INF=32752, softmax upcasts internally). On TPU this halves
+    the dominant HBM traffic of the attention layers: measured on v5e,
+    MultiHeadAttention fwd+bwd on (1024, 80, 384) spends ~7.5 GB/step of
+    bandwidth with f32 score materialization.
 
     Args:
-        scores: attention logits (..., q, k)
+        scores: attention logits (..., q, k), any float dtype
         mask: validity mask broadcastable to scores; True = attend.
     """
-    scores = scores.astype(jnp.float32)
+    if out_dtype is None or out_dtype == jnp.float32:
+        scores = scores.astype(jnp.float32)
+        if mask is not None:
+            scores = jnp.where(mask, scores, -INF)
+        return jax.nn.softmax(scores, axis=axis)
+    s = scores.astype(out_dtype)
     if mask is not None:
-        scores = jnp.where(mask, scores, -INF)
-    return jax.nn.softmax(scores, axis=axis)
+        s = jnp.where(mask, s, jnp.asarray(-INF, out_dtype))
+    m = jax.lax.stop_gradient(jnp.max(s, axis=axis, keepdims=True))
+    e = jnp.exp((s - m).astype(jnp.float32)).astype(out_dtype)
+    z = jnp.sum(e.astype(jnp.float32), axis=axis, keepdims=True)
+    return (e.astype(jnp.float32) / z).astype(out_dtype)
 
 
 def _use_pallas_attention(use_pallas: Optional[bool], lk: int,
@@ -151,13 +171,21 @@ class MultiHeadAttention(nn.Module):
             ctx = ctx.astype(self.dtype).reshape(b, lq, self.d_model)
             return dense("final_projection")(ctx)
 
-        # (B, H, Lq, Lk) logits; accumulate in f32 on the MXU
-        scores = einsum_f32("bqhd,bkhd->bhqk", q, k)
-        scores = scores / jnp.sqrt(jnp.float32(d_head))
+        # (B, H, Lq, Lk) logits; accumulate in f32 on the MXU. In bf16
+        # mode fold the 1/sqrt(d) scale into q and emit bf16 scores
+        # directly so the (B, H, Lq, Lk) tensor is never stored in f32
+        # (mirrors the reference's AMP fp16 scores; see masked_softmax).
+        if self.dtype != jnp.float32:
+            q = q * jnp.asarray(1.0 / float(d_head) ** 0.5, q.dtype)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=self.dtype)
+        else:
+            scores = einsum_f32("bqhd,bkhd->bhqk", q, k)
+            scores = scores / jnp.sqrt(jnp.float32(d_head))
         attn_mask = None
         if mask is not None:
             attn_mask = mask[:, None, :, :]  # broadcast over heads
-        attn = masked_softmax(scores, attn_mask)
+        attn = masked_softmax(scores, attn_mask, out_dtype=self.dtype)
         attn = attn.astype(self.dtype)
         if self.dropout > 0:
             attn = nn.Dropout(rate=self.dropout)(

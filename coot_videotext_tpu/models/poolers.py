@@ -78,32 +78,53 @@ class GenPool(nn.Module):
         act = make_activation(self.activation_cfg)
 
         f = features.astype(self.dtype)
-        # (B, H, L, d_head)
-        h = einsum_f32("bld,hdk->bhlk", f,
-                       w1.astype(self.dtype)).astype(self.dtype)
-        h = h + b1.astype(self.dtype)[None, :, None, :]
+
+        # TPU layout: the per-head 2-layer MLP runs FLAT over the feature
+        # axis — one (D_in, H*d_head) dot, then one block-diagonal
+        # (H*d_head, H*d_head_out) dot — instead of per-head batched
+        # einsums, whose (B, H, L, d) relayouts cost ~2x wall-clock on
+        # v5e. The head-stacked parameter layout (reference
+        # poolers.py:129-139) is unchanged, and the flat element order
+        # [h*d_out + o] equals the reference's transpose+reshape head
+        # interleave, so no final transpose is needed either.
+        def mm(spec, a, w):
+            if self.dtype != jnp.float32:
+                return jnp.einsum(spec, a, w.astype(self.dtype),
+                                  preferred_element_type=self.dtype)
+            return einsum_f32(spec, a, w)
+
+        w1_flat = jnp.transpose(w1, (1, 0, 2)).reshape(
+            self.d_input, self.num_heads * d_head)
+        w2_blk = jnp.zeros(
+            (self.num_heads * d_head, self.num_heads * d_head_out),
+            jnp.float32)
+        for hh in range(self.num_heads):
+            w2_blk = w2_blk.at[hh * d_head:(hh + 1) * d_head,
+                               hh * d_head_out:(hh + 1) * d_head_out].set(
+                                   w2[hh])
+
+        # (B, L, H*d_head)
+        h = mm("bld,dk->blk", f, w1_flat).astype(self.dtype)
+        h = h + b1.reshape(-1).astype(self.dtype)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         h = act(h)
-        # (B, H, L, d_head_out)
-        h = einsum_f32("bhlk,hko->bhlo", h,
-                       w2.astype(self.dtype)).astype(self.dtype)
-        h = h + b2.astype(self.dtype)[None, :, None, :]
+        # (B, L, H*d_head_out = D)
+        h = mm("blk,ko->blo", h, w2_blk).astype(self.dtype)
+        h = h + b2.reshape(-1).astype(self.dtype)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
 
-        # masked softmax over the sequence axis (axis=2), f32
-        # (reference fills -INF where padded, softmax dim=2)
+        # masked softmax over the sequence axis; f32 in f32 mode, bf16
+        # storage with f32 reductions in bf16 mode (reference fills -INF
+        # where padded, softmax dim=2; fp16 under the reference AMP)
         smweights = masked_softmax(
-            h, mask[:, None, :, None].astype(bool), axis=2)
+            h, mask[:, :, None].astype(bool), axis=1,
+            out_dtype=self.dtype)
         smweights = smweights.astype(self.dtype)
         if self.dropout > 0:
             smweights = nn.Dropout(rate=self.dropout)(
                 smweights, deterministic=deterministic)
-        # interleave heads back to full feature dim:
-        # (B, H, L, d_head_out) -> (B, L, H*d_head_out = D)
-        smweights = jnp.transpose(smweights, (0, 2, 1, 3)).reshape(
-            features.shape[0], features.shape[1], self.d_input)
         pooled = jnp.sum(f * smweights, axis=1)
         return pooled
 
