@@ -221,12 +221,29 @@ class RetrievalDeviceMeta:
 
     def __init__(self, store: RetrievalDeviceStore,
                  fixed_shapes: Dict[str, int], max_frames: int,
-                 sharding=None) -> None:
+                 sharding=None, batch_size: Optional[int] = None,
+                 pack_parts: bool = True) -> None:
         ds = store.dataset
         n = len(ds.keys)
         n_parts = fixed_shapes["n_parts"]
         self.shapes = dict(fixed_shapes)
         self.max_frames = max_frames
+        if pack_parts and batch_size is not None:
+            # static pack budgets: no batch of `batch_size` distinct videos
+            # can exceed the sum of the top-batch_size part counts, so the
+            # packed layout can never overflow; +batch_size covers the
+            # one-live-slot fixups on padded final-batch rows.
+            def budget(counts):
+                top = sorted(counts, reverse=True)[:batch_size]
+                need = sum(top) + batch_size
+                return min(-(-need // 64) * 64, batch_size * n_parts)
+
+            self.shapes["pack_clips"] = budget(
+                [len(ds.meta[k]["segments"]) for k in ds.keys])
+            self.shapes["pack_sents"] = budget(
+                [len(ds.text_feats.sentence_splits.get(
+                    k, ds.text_feats.sentence_splits.get(
+                        f"v_{k[:11]}", [1]))) for k in ds.keys])
 
         vid_off = np.zeros(n, np.int32)
         vid_nf = np.zeros(n, np.int32)
@@ -383,7 +400,7 @@ def device_sample_batch(tables: Dict[str, jnp.ndarray],
     sent_lens = jnp.where(sent_valid, jnp.maximum(sent_len, 1), 0)
 
     vid_mask = vid_mask.at[:, 0].set(True)
-    return {
+    batch = {
         "batch_valid": batch_valid,
         "vid_idx": vid_idx.astype(jnp.int32),
         "vid_mask": vid_mask,
@@ -402,3 +419,40 @@ def device_sample_batch(tables: Dict[str, jnp.ndarray],
         "sent_valid": sent_valid,
         "sent_num": jnp.maximum(sent_num, 1).astype(jnp.int32),
     }
+
+    # ---- optional part packing: drop padded clip/sentence slots ----
+    # The dense (B, N, L) layout wastes local-net compute on padded part
+    # slots (mean ~7.7 clips vs N=16 on the yc2 workloads -> ~2x). With a
+    # static budget P >= any batch's total part count (the loader uses the
+    # sum of the dataset's top-B counts, so no batch can overflow), the
+    # valid slots are packed to the front of a (P, L) layout; the model
+    # scatters the local embeddings back to (B, N, D) — a tiny tensor —
+    # before the global net. Semantics are unchanged: every real part is
+    # encoded exactly once, padded slots simply never exist.
+    pack_clips = shapes.get("pack_clips")
+    pack_sents = shapes.get("pack_sents")
+
+    def pack(valid2d, arrs, budget):
+        bn = valid2d.size
+        order = jnp.argsort(
+            jnp.where(valid2d.reshape(-1), 0, 1), stable=True)
+        slots = order[:budget]
+        owner = (slots // n_parts).astype(jnp.int32)
+        pos = (slots % n_parts).astype(jnp.int32)
+        slot_valid = valid2d.reshape(-1)[slots]
+        packed = [a.reshape((bn,) + a.shape[2:])[slots] for a in arrs]
+        return owner, pos, slot_valid, packed
+
+    if pack_clips is not None and pack_clips < b * n_parts:
+        owner, pos, sv, (ci, cm, cl) = pack(
+            clip_valid, [batch["clip_idx"], batch["clip_mask"],
+                         batch["clip_len"]], pack_clips)
+        batch.update(clip_idx=ci, clip_mask=cm, clip_len=cl,
+                     clip_owner=owner, clip_pos=pos, clip_slot_valid=sv)
+    if pack_sents is not None and pack_sents < b * n_parts:
+        owner, pos, sv, (si, sm, sl) = pack(
+            sent_valid, [batch["sent_idx"], batch["sent_mask"],
+                         batch["sent_len"]], pack_sents)
+        batch.update(sent_idx=si, sent_mask=sm, sent_len=sl,
+                     sent_owner=owner, sent_pos=pos, sent_slot_valid=sv)
+    return batch

@@ -498,10 +498,14 @@ def create_retrieval_datasets_and_loaders(
     if device_preload and fixed_shapes and sample_on_device:
         from coot_videotext_tpu.data.device_store import (
             RetrievalDeviceMeta)
+        pack = getattr(cfg.dataset_train, "pack_parts", True)
         train_loader.device_meta = RetrievalDeviceMeta(
             train_store, train_loader.fixed_shapes,
-            cfg.dataset_train.max_frames)
+            cfg.dataset_train.max_frames,
+            batch_size=cfg.train.batch_size, pack_parts=pack)
         val_loader.device_meta = RetrievalDeviceMeta(
             val_store, val_loader.fixed_shapes,
-            cfg.dataset_val.max_frames)
+            cfg.dataset_val.max_frames,
+            batch_size=cfg.val.batch_size,
+            pack_parts=getattr(cfg.dataset_val, "pack_parts", pack))
     return train_set, val_set, train_loader, val_loader

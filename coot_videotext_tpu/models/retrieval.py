@@ -46,6 +46,9 @@ def _encode_hierarchy(net_local: CootTransformer,
                       part_feat: jnp.ndarray, part_mask: jnp.ndarray,
                       part_len: jnp.ndarray, part_valid: jnp.ndarray,
                       part_num: jnp.ndarray, *,
+                      part_owner: jnp.ndarray = None,
+                      part_pos: jnp.ndarray = None,
+                      part_slot_valid: jnp.ndarray = None,
                       deterministic: bool) -> Dict[str, jnp.ndarray]:
     """
     Shared video/text hierarchy encoding (reference encode_visual :86 /
@@ -54,8 +57,15 @@ def _encode_hierarchy(net_local: CootTransformer,
     Args:
         seq_*: whole-sequence input (video frames / paragraph tokens),
             shapes (B, L, D) / (B, L) / (B,)
-        part_*: per-part input (clips / sentences), dense layout,
-            shapes (B, N, Lp, D) / (B, N, Lp) / (B, N)
+        part_*: per-part input (clips / sentences), either the dense
+            layout (B, N, Lp, D) / (B, N, Lp) / (B, N), or — when
+            part_owner/part_pos/part_slot_valid are given — the PACKED
+            layout (P, Lp, D) from device_sample_batch, where the local
+            net only sees real parts and the embeddings are scattered
+            back to (B, N, D) for the global net (each packed slot maps
+            to a distinct (owner, pos), so the scatter is collision-free;
+            unpacked padded slots keep zeros, which downstream masks
+            treat exactly like the dense layout's junk embeddings).
         part_valid: (B, N) True where the part slot holds a real clip/sentence
         part_num: (B,) number of real parts
 
@@ -66,14 +76,30 @@ def _encode_hierarchy(net_local: CootTransformer,
     context, _ = net_local(seq_feat, seq_mask, seq_len, None,
                            deterministic=deterministic)
 
-    # all parts through the same local net as one big batch
-    b, n, lp, d = part_feat.shape
-    flat_feat = part_feat.reshape(b * n, lp, d)
-    flat_mask = part_mask.reshape(b * n, lp)
-    flat_len = part_len.reshape(b * n)
-    part_emb_flat, _ = net_local(flat_feat, flat_mask, flat_len, None,
-                                 deterministic=deterministic)
-    part_emb = part_emb_flat.reshape(b, n, -1)
+    b, n = part_valid.shape
+    if part_feat.ndim == 3:  # packed (P, Lp, D)
+        part_emb_flat, _ = net_local(part_feat, part_mask, part_len, None,
+                                     deterministic=deterministic)
+        d_out = part_emb_flat.shape[-1]
+        contrib = part_emb_flat * part_slot_valid[:, None].astype(
+            part_emb_flat.dtype)
+        part_emb = jnp.zeros((b, n, d_out), part_emb_flat.dtype).at[
+            part_owner, part_pos].set(contrib)
+    else:
+        # all parts through the same local net as one big batch
+        _, _, lp, d = part_feat.shape
+        flat_feat = part_feat.reshape(b * n, lp, d)
+        flat_mask = part_mask.reshape(b * n, lp)
+        flat_len = part_len.reshape(b * n)
+        part_emb_flat, _ = net_local(flat_feat, flat_mask, flat_len, None,
+                                     deterministic=deterministic)
+        part_emb = part_emb_flat.reshape(b, n, -1)
+        # zero padded part slots: the reference scatters local embeddings
+        # into a ZERO-initialized (B, max_clips, D) tensor
+        # (model_retrieval.py:124-136), and the global net's unmasked
+        # avg_special pool makes those slots observable — junk there
+        # would leak into the global embedding.
+        part_emb = part_emb * part_valid[..., None].astype(part_emb.dtype)
 
     hidden = context if use_context else None
     emb, _ = net_global(part_emb, part_valid, part_num, hidden,
@@ -120,6 +146,9 @@ class RetrievalModel(nn.Module):
             batch["vid_feat"], batch["vid_mask"], batch["vid_len"],
             batch["clip_feat"], batch["clip_mask"], batch["clip_len"],
             batch["clip_valid"], batch["clip_num"],
+            part_owner=batch.get("clip_owner"),
+            part_pos=batch.get("clip_pos"),
+            part_slot_valid=batch.get("clip_slot_valid"),
             deterministic=deterministic)
         return {
             "vid_emb": out["emb"],
@@ -139,6 +168,9 @@ class RetrievalModel(nn.Module):
             batch["par_feat"], batch["par_mask"], batch["par_len"],
             batch["sent_feat"], batch["sent_mask"], batch["sent_len"],
             batch["sent_valid"], batch["sent_num"],
+            part_owner=batch.get("sent_owner"),
+            part_pos=batch.get("sent_pos"),
+            part_slot_valid=batch.get("sent_slot_valid"),
             deterministic=deterministic)
         return {
             "par_emb": out["emb"],

@@ -27,10 +27,16 @@ from coot_videotext_tpu.typext import INF
 
 
 def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """torch F.normalize parity: x / max(||x||, eps)."""
+    """
+    torch F.normalize parity: x / max(||x||, eps). Written on the squared
+    norm so the gradient at x=0 is finite (d||x||/dx = x/||x|| is NaN at
+    exactly zero, and padded clip/sentence slots ARE exactly zero — their
+    upstream loss gradient is zero, but 0 * NaN would still poison the
+    update). Value is identical: sqrt(max(||x||^2, eps^2)) == max(||x||, eps).
+    """
     x = x.astype(jnp.float32)
-    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    norm_sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(norm_sq, eps * eps))
 
 
 def cosine_sim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -188,3 +188,61 @@ def test_device_sampling_full_pipeline(synth_data, tmp_path):
     loss, score, _ = trainer.validate_epoch(val_loader, val_clips=True)
     assert np.isfinite(loss) and 0 <= score <= 1
     trainer.close()
+
+
+def test_packed_parts_match_dense(synth_data):
+    """The packed (P, L) part layout produces the same model outputs as
+    the dense (B, N, L) layout on all valid positions."""
+    import jax
+    import jax.numpy as jnp
+    from coot_videotext_tpu.data.device_store import (
+        device_sample_batch, gather_dense_batch)
+
+    root, overrides = synth_data
+    cfg = make_cfg(overrides)
+    _, _, loader, _ = create_retrieval_datasets_and_loaders(
+        cfg, root, seed=0, fixed_shapes=True, device_preload=True)
+    meta = loader.device_meta
+    store = loader.device_store
+    b = cfg.train.batch_size
+    n_parts = meta.shapes["n_parts"]
+    dp = jnp.arange(b, dtype=jnp.int32)
+    rng = jax.random.PRNGKey(3)
+
+    shapes_dense = {k: v for k, v in meta.shapes.items()
+                    if not k.startswith("pack_")}
+    # force a real packing budget well under b*n_parts
+    counts = np.asarray(meta.tables["clip_num"])[:b]
+    budget = int(counts.sum()) + 2
+    assert budget < b * n_parts, "fixture must have padding to drop"
+    shapes_packed = dict(shapes_dense, pack_clips=budget,
+                         pack_sents=budget)
+
+    def run(shapes):
+        batch = device_sample_batch(meta.tables, dp, shapes,
+                                    meta.max_frames, rng=rng)
+        batch = gather_dense_batch(batch, store.vid_store,
+                                   store.text_store)
+        mgr = RetrievalModelManager(cfg)
+        params = mgr.init_params(0)
+        out = mgr.model_eval.apply({"params": params}, batch,
+                                   deterministic=True)
+        return batch, out
+
+    batch_d, out_d = run(shapes_dense)
+    batch_p, out_p = run(shapes_packed)
+    assert batch_p["clip_feat"].shape[0] == budget
+    cv = np.asarray(batch_d["clip_valid"])[..., None]
+    sv = np.asarray(batch_d["sent_valid"])[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out_p["clip_emb"]) * cv,
+        np.asarray(out_d["clip_emb"]) * cv, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_p["sent_emb"]) * sv,
+        np.asarray(out_d["sent_emb"]) * sv, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_p["vid_emb"]),
+                               np.asarray(out_d["vid_emb"]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_p["par_emb"]),
+                               np.asarray(out_d["par_emb"]),
+                               rtol=2e-5, atol=2e-5)
