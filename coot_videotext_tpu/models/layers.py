@@ -106,7 +106,13 @@ class CootLayerNorm(nn.Module):
         # Bessel-corrected std (torch `.std()` default, ddof=1)
         var = jnp.sum(centered * centered, axis=-1, keepdims=True) / max(
             dim - 1, 1)
-        std = jnp.sqrt(var)
+        # double-where sqrt guard: d(sqrt)/d(var) is inf at var == 0, and
+        # constant rows DO occur (zeroed padded clip/sentence slots feed the
+        # global net's input norm) — the guarded branch keeps the forward
+        # value identical (sqrt(0) == 0) while pinning the gradient of
+        # those rows to 0 instead of 0 * inf = NaN.
+        var_pos = var > 0.0
+        std = jnp.where(var_pos, jnp.sqrt(jnp.where(var_pos, var, 1.0)), 0.0)
         out = gain * centered / (std + self.eps) + bias
         return out.astype(self.dtype)
 

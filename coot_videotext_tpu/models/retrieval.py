@@ -81,8 +81,13 @@ def _encode_hierarchy(net_local: CootTransformer,
         part_emb_flat, _ = net_local(part_feat, part_mask, part_len, None,
                                      deterministic=deterministic)
         d_out = part_emb_flat.shape[-1]
-        contrib = part_emb_flat * part_slot_valid[:, None].astype(
-            part_emb_flat.dtype)
+        # where-based masking (not multiply): the backward of `where`
+        # SELECTS the cotangent, so a NaN/inf gradient arising on a padded
+        # slot downstream is replaced by 0 instead of 0 * NaN = NaN — this
+        # mirrors the reference's scatter, which routes padded-row
+        # gradients into a constant zeros tensor and discards them
+        # (model_retrieval.py:124-136).
+        contrib = jnp.where(part_slot_valid[:, None], part_emb_flat, 0.0)
         part_emb = jnp.zeros((b, n, d_out), part_emb_flat.dtype).at[
             part_owner, part_pos].set(contrib)
     else:
@@ -98,8 +103,12 @@ def _encode_hierarchy(net_local: CootTransformer,
         # into a ZERO-initialized (B, max_clips, D) tensor
         # (model_retrieval.py:124-136), and the global net's unmasked
         # avg_special pool makes those slots observable — junk there
-        # would leak into the global embedding.
-        part_emb = part_emb * part_valid[..., None].astype(part_emb.dtype)
+        # would leak into the global embedding. `where`, not multiply: its
+        # backward SELECTS the cotangent, so NaN gradients arising on
+        # padded slots downstream are dropped (the reference's scatter
+        # likewise routes them into a constant and discards them) instead
+        # of poisoning the shared local-net parameters via 0 * NaN.
+        part_emb = jnp.where(part_valid[..., None], part_emb, 0.0)
 
     hidden = context if use_context else None
     emb, _ = net_global(part_emb, part_valid, part_num, hidden,

@@ -39,6 +39,32 @@ def test_coot_layernorm_differs_from_standard():
     assert np.abs(out - standard).max() > 1e-3
 
 
+def test_coot_layernorm_zero_variance_grad_finite():
+    """Constant (e.g. all-zero) rows must have finite gradients: zeroed
+    padded clip/sentence slots feed the global net's input norm, and a NaN
+    there poisons the shared local-net parameter gradients via 0 * NaN
+    even when the row's output cotangent is exactly zero (regression:
+    training went NaN within one epoch)."""
+    ln = CootLayerNorm(eps=1e-6)
+    x = jnp.zeros((3, 8))
+    params = ln.init(jax.random.PRNGKey(0), x)
+
+    def masked_loss(x):
+        # downstream mask multiplies the padded row's output by zero —
+        # exactly the situation in the retrieval hierarchy
+        return jnp.sum(ln.apply(params, x) * 0.0)
+
+    g = jax.grad(masked_loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # forward value at zero variance unchanged: (x - mean) / (0 + eps) = 0
+    np.testing.assert_allclose(np.asarray(ln.apply(params, x)), 0.0)
+    # and gradients at a mix of constant and non-constant rows stay finite
+    x2 = jnp.concatenate([jnp.zeros((1, 8)), jnp.ones((1, 8)),
+                          jnp.arange(8, dtype=jnp.float32)[None]], axis=0)
+    g2 = jax.grad(lambda x: jnp.sum(ln.apply(params, x) ** 2))(x2)
+    assert np.isfinite(np.asarray(g2)).all()
+
+
 def test_sincos_positional_encoding_reference_variant():
     """pe[:,0::2]=sin(pos/div[0::2]), pe[:,1::2]=cos(pos/div[1::2]),
     div=10000**(2*arange(dim)/dim) (reference encoder.py:84-90)."""
