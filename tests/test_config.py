@@ -98,3 +98,36 @@ def test_reference_retrieval_yaml_parses():
     assert cfg.model_cfgs["net_text_local"].output_dim == 384
     assert cfg.optimizer.lr == pytest.approx(3.6e-4)
     assert cfg.lr_scheduler.rop_patience == 5
+
+
+def test_shipped_paper2020_configs_build_and_match_reference():
+    """Every shipped config/{retrieval,caption}/paper2020 yaml constructs a
+    strict config object with zero leftovers, and (when the reference is
+    mounted) resolves to exactly the reference's experiment definition."""
+    import pathlib
+    from coot_videotext_tpu.tasks.retrieval.config import RetrievalConfig
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    from coot_videotext_tpu.utils.general import (
+        resolve_sameas_config_recursively)
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    ref_root = pathlib.Path("/root/reference")
+
+    def canon(path):
+        d = load_yaml_config_file(path)
+        resolve_sameas_config_recursively(d)
+        d.pop("description", None)
+        return d
+
+    checked = 0
+    for sub, cls in (("retrieval", RetrievalConfig), ("caption", MartConfig)):
+        files = sorted((repo / "config" / sub / "paper2020").glob("*.yaml"))
+        assert files, f"no shipped paper2020 {sub} configs"
+        for path in files:
+            cls(load_yaml_config_file(path))  # strict: leftovers raise
+            ref = ref_root / "config" / sub / "paper2020" / path.name
+            if ref.is_file():
+                assert canon(path) == canon(ref), path.name
+                checked += 1
+    if ref_root.is_dir():
+        assert checked == 10
