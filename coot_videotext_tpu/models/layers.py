@@ -101,11 +101,17 @@ class CootLayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (dim,),
                           jnp.float32)
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        centered = x32 - mean
-        # Bessel-corrected std (torch `.std()` default, ddof=1)
-        var = jnp.sum(centered * centered, axis=-1, keepdims=True) / max(
-            dim - 1, 1)
+        # Bessel-corrected std (torch `.std()` default, ddof=1), computed
+        # from sum / sum-of-squares so XLA fuses BOTH statistics into one
+        # multi-output reduction pass over x (the input norm runs over the
+        # raw 4096-dim features — with the centered two-pass formulation
+        # this layer was the single most expensive reduction in the train
+        # step). f32 accumulators over <=4096 elements keep the
+        # cancellation error below the 1e-5 parity tolerance.
+        s1 = jnp.sum(x32, axis=-1, keepdims=True)
+        s2 = jnp.sum(jnp.square(x32), axis=-1, keepdims=True)
+        mean = s1 / dim
+        var = jnp.maximum(s2 - mean * s1, 0.0) / max(dim - 1, 1)
         # double-where sqrt guard: d(sqrt)/d(var) is inf at var == 0, and
         # constant rows DO occur (zeroed padded clip/sentence slots feed the
         # global net's input norm) — the guarded branch keeps the forward
@@ -113,7 +119,7 @@ class CootLayerNorm(nn.Module):
         # those rows to 0 instead of 0 * inf = NaN.
         var_pos = var > 0.0
         std = jnp.where(var_pos, jnp.sqrt(jnp.where(var_pos, var, 1.0)), 0.0)
-        out = gain * centered / (std + self.eps) + bias
+        out = gain * (x32 - mean) / (std + self.eps) + bias
         return out.astype(self.dtype)
 
 

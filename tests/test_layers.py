@@ -119,3 +119,20 @@ def test_truncnorm_init_bounds():
     kernel = np.asarray(params["params"]["fc_0"]["kernel"])
     assert np.abs(kernel).max() <= 0.02 + 1e-6  # 2 sigma truncation
     assert kernel.std() == pytest.approx(0.01, rel=0.4)
+
+
+def test_dropout_remat_bwd_mask_matches_fwd():
+    """ops/dropout.py (documented negative result, kept as a reference
+    pattern): the regenerated backward mask must be bit-identical to the
+    forward mask — grad == d(mask * x / q)/dx == mask / q."""
+    from coot_videotext_tpu.ops.dropout import dropout_remat
+    key = jax.random.PRNGKey(7)
+    x = jnp.ones((64, 33))
+    rate = 0.3
+    y, vjp = jax.vjp(lambda x: dropout_remat(x, key, rate), x)
+    (gx,) = vjp(jnp.ones_like(x))
+    q = 1.0 - rate
+    np.testing.assert_allclose(np.asarray(y) * 0 + np.asarray(gx),
+                               np.asarray(y), rtol=1e-6)
+    kept = float((np.asarray(y) > 0).mean())
+    assert abs(kept - q) < 0.1
