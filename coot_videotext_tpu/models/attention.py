@@ -28,8 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from coot_videotext_tpu.models.configs import TransformerEncoderConfig
-from coot_videotext_tpu.models.layers import (
-    make_activation, make_bias_initializer, make_initializer,
+from coot_videotext_tpu.models.layers import (Dropout, make_activation, make_bias_initializer, make_initializer,
     make_normalization)
 from coot_videotext_tpu.typext import INF
 
@@ -188,7 +187,7 @@ class MultiHeadAttention(nn.Module):
         attn = masked_softmax(scores, attn_mask, out_dtype=self.dtype)
         attn = attn.astype(self.dtype)
         if self.dropout > 0:
-            attn = nn.Dropout(rate=self.dropout)(
+            attn = Dropout(rate=self.dropout)(
                 attn, deterministic=deterministic)
         ctx = einsum_f32("bhqk,bkhd->bqhd", attn, v)
         ctx = ctx.astype(self.dtype).reshape(b, lq, self.d_model)
@@ -216,13 +215,13 @@ class PointwiseFeedForward(nn.Module):
                      dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(x)
         if self.dropout > 0:
-            x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+            x = Dropout(rate=self.dropout)(x, deterministic=deterministic)
         x = act(x)
         x = nn.Dense(self.d_model, kernel_init=kinit, bias_init=binit,
                      dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc2")(x)
         if self.dropout > 0:
-            x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+            x = Dropout(rate=self.dropout)(x, deterministic=deterministic)
         return x
 
 
@@ -252,7 +251,7 @@ class TransformerEncoderLayer(nn.Module):
         if norm1 is not None:
             x = norm1(x)
         if cfg.dropout > 0:
-            x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
+            x = Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
         ffn_out = PointwiseFeedForward(
             d_ff=cfg.pointwise_ff_dim, d_model=cfg.hidden_dim,
             dropout=cfg.dropout, cfg=cfg, init_type=self.init_type,

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from coot_videotext_tpu.models.layers import Dropout
+
 Dtype = Any
 
 
@@ -140,7 +142,7 @@ class BertSelfAttention(nn.Module):
         scores = einsum_f32("bqhd,bkhd->bhqk", q, k)
         scores = scores / jnp.sqrt(jnp.float32(d_head)) + add_mask
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(rate=cfg.attention_probs_dropout_prob)(
+        probs = Dropout(rate=cfg.attention_probs_dropout_prob)(
             probs, deterministic=deterministic)
         ctx = einsum_f32("bhqk,bkhd->bqhd", probs, v).astype(self.dtype)
         return ctx.reshape(b, lq, cfg.hidden_size)
@@ -156,7 +158,7 @@ class BertSelfOutput(nn.Module):
                  deterministic: bool = True):
         h = bert_dense(self.cfg, self.cfg.hidden_size, dtype=self.dtype,
                        name="dense")(hidden_states)
-        h = nn.Dropout(rate=self.cfg.hidden_dropout_prob)(
+        h = Dropout(rate=self.cfg.hidden_dropout_prob)(
             h, deterministic=deterministic)
         return bert_layernorm(self.cfg, dtype=self.dtype,
                               name="LayerNorm")(h + input_tensor)
@@ -199,7 +201,7 @@ class BertOutput(nn.Module):
                  deterministic: bool = True):
         h = bert_dense(self.cfg, self.cfg.hidden_size, dtype=self.dtype,
                        name="dense")(hidden_states)
-        h = nn.Dropout(rate=self.cfg.hidden_dropout_prob)(
+        h = Dropout(rate=self.cfg.hidden_dropout_prob)(
             h, deterministic=deterministic)
         return bert_layernorm(self.cfg, dtype=self.dtype,
                               name="LayerNorm")(h + input_tensor)
@@ -229,7 +231,7 @@ class MemoryInitializer(nn.Module):
         h = bert_dense(cfg, cfg.hidden_size, dtype=self.dtype,
                        name="init_memory_fc")(pooled)
         h = bert_layernorm(cfg, dtype=self.dtype, name="init_memory_ln")(h)
-        return nn.Dropout(rate=cfg.memory_dropout_prob)(
+        return Dropout(rate=cfg.memory_dropout_prob)(
             h, deterministic=deterministic)
 
 
@@ -383,7 +385,7 @@ class BertEmbeddingsWithVideo(nn.Module):
             name="word_embeddings")(input_ids)
         w = bert_layernorm(cfg, dtype=self.dtype, name="word_ln_in")(
             word_emb)
-        w = nn.Dropout(rate=cfg.hidden_dropout_prob)(
+        w = Dropout(rate=cfg.hidden_dropout_prob)(
             w, deterministic=deterministic)
         w = bert_dense(cfg, cfg.hidden_size, dtype=self.dtype,
                        name="word_fc")(w)
@@ -392,7 +394,7 @@ class BertEmbeddingsWithVideo(nn.Module):
 
         vf = video_features.astype(self.dtype)
         v = bert_layernorm(cfg, dtype=self.dtype, name="video_ln_in")(vf)
-        v = nn.Dropout(rate=cfg.hidden_dropout_prob)(
+        v = Dropout(rate=cfg.hidden_dropout_prob)(
             v, deterministic=deterministic)
         v = bert_dense(cfg, cfg.hidden_size, dtype=self.dtype,
                        name="video_fc")(v)
@@ -412,7 +414,7 @@ class BertEmbeddingsWithVideo(nn.Module):
             emb = emb + jnp.asarray(pe[:emb.shape[-2]],
                                     self.dtype)[None]
         emb = bert_layernorm(cfg, dtype=self.dtype, name="LayerNorm")(emb)
-        return nn.Dropout(rate=cfg.hidden_dropout_prob)(
+        return Dropout(rate=cfg.hidden_dropout_prob)(
             emb, deterministic=deterministic)
 
 

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from coot_videotext_tpu.models.layers import Dropout
+
 from coot_videotext_tpu.train.loss_caption import (
     cross_entropy_loss, label_smoothing_loss)
 
@@ -87,7 +89,7 @@ class MTMultiHead(nn.Module):
         # NOTE reference scales AFTER the causal subtraction (:88-90)
         probs = jax.nn.softmax(dots / math.sqrt(d_head * self.n_heads),
                                axis=-1).astype(self.dtype)
-        probs = nn.Dropout(rate=self.drop_ratio)(
+        probs = Dropout(rate=self.drop_ratio)(
             probs, deterministic=deterministic)
         out = einsum_f32("bhqk,bkhd->bqhd", probs, v).astype(self.dtype)
         return dense("wo")(out.reshape(b, lq, self.d_model))
@@ -102,7 +104,7 @@ class MTResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, residual, sublayer_out, *,
                  deterministic: bool = True):
-        h = nn.Dropout(rate=self.drop_ratio)(
+        h = Dropout(rate=self.drop_ratio)(
             sublayer_out, deterministic=deterministic)
         return MTLayerNorm(self.d_model, dtype=self.dtype,
                            name="layernorm")(residual + h)
@@ -193,7 +195,7 @@ class MTransformer(nn.Module):
             (cfg.hidden_size, cfg.vocab_size), jnp.float32)
         self.out_bias = self.param("out_bias", nn.initializers.zeros,
                                    (cfg.vocab_size,), jnp.float32)
-        self.drop = nn.Dropout(rate=cfg.hidden_dropout_prob)
+        self.drop = Dropout(rate=cfg.hidden_dropout_prob)
 
     def encode(self, video_features, video_masks, *,
                deterministic: bool = True) -> List[jnp.ndarray]:

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from coot_videotext_tpu.models.layers import Dropout
+
 from coot_videotext_tpu.models.caption.bert import (
     BertAttention, BertIntermediate, BertLMPredictionHead, BertOutput,
     BertSelfAttention, bert_dense, bert_layernorm,
@@ -40,7 +42,7 @@ class BertEmbeddingsTextUntied(nn.Module):
                      dtype=self.dtype, param_dtype=jnp.float32,
                      name="word_embeddings")(text_input_ids)
         w = bert_layernorm(cfg, dtype=self.dtype, name="word_ln_in")(w)
-        w = nn.Dropout(rate=cfg.hidden_dropout_prob)(
+        w = Dropout(rate=cfg.hidden_dropout_prob)(
             w, deterministic=deterministic)
         w = bert_dense(cfg, cfg.hidden_size, dtype=self.dtype,
                        name="word_fc")(w)
@@ -61,7 +63,7 @@ class BertEmbeddingsVideoUntied(nn.Module):
         cfg = self.cfg
         v = video_features.astype(self.dtype)
         v = bert_layernorm(cfg, dtype=self.dtype, name="video_ln_in")(v)
-        v = nn.Dropout(rate=cfg.hidden_dropout_prob)(
+        v = Dropout(rate=cfg.hidden_dropout_prob)(
             v, deterministic=deterministic)
         v = bert_dense(cfg, cfg.hidden_size, dtype=self.dtype,
                        name="video_fc")(v)

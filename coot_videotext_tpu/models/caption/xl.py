@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from coot_videotext_tpu.models.layers import Dropout
+
 from coot_videotext_tpu.models.caption.bert import (
     BertEmbeddingsWithVideo, BertLMPredictionHead, make_shifted_mask)
 from coot_videotext_tpu.train.loss_caption import (
@@ -63,11 +65,11 @@ class PositionwiseFF(nn.Module):
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(inp)
         h = nn.relu(h)
-        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        h = Dropout(rate=self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, kernel_init=kinit,
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(h)
-        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        h = Dropout(rate=self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                             param_dtype=jnp.float32,
                             name="layer_norm")(inp + h)
@@ -128,12 +130,12 @@ class RelPartialLearnableMultiHeadAttn(nn.Module):
             score = jnp.where(attn_mask.astype(bool)[:, None], -INF,
                               score)
         prob = jax.nn.softmax(score, axis=-1).astype(self.dtype)
-        prob = nn.Dropout(rate=self.dropatt)(prob,
+        prob = Dropout(rate=self.dropatt)(prob,
                                              deterministic=deterministic)
         vec = einsum_f32("bhqk,bkhd->bqhd", prob, v).astype(self.dtype)
         vec = vec.reshape(n, qlen, self.n_head * self.d_head)
         out = o_net(vec)
-        out = nn.Dropout(rate=self.dropout)(out,
+        out = Dropout(rate=self.dropout)(out,
                                             deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                             param_dtype=jnp.float32,
@@ -197,7 +199,7 @@ class TransformerXLEncoder(nn.Module):
         pos_seq = jnp.arange(klen - 1, -1, -1.0, dtype=jnp.float32)
         pos_emb = positional_embedding_xl(pos_seq, cfg.hidden_size)
 
-        drop = nn.Dropout(rate=cfg.hidden_dropout_prob)
+        drop = Dropout(rate=cfg.hidden_dropout_prob)
         core_out = drop(raw_embeddings.astype(self.dtype),
                         deterministic=deterministic)
         pos_emb = drop(pos_emb.astype(self.dtype),

@@ -33,6 +33,42 @@ Dtype = Any
 Initializer = Callable[..., jnp.ndarray]
 
 
+# ---------- Dropout ----------
+
+class Dropout(nn.Module):
+    """
+    Drop-in replacement for flax nn.Dropout (same auto-name, same rng
+    collection, same keep/scale semantics), with the mask drawn by
+    comparing raw uint16 random bits against a threshold instead of
+    `jax.random.bernoulli`'s u32 -> f32 -> compare chain. The train step
+    draws ~250M mask elements across ~10 sites; the RngBitGenerator HLO is
+    output-bandwidth-bound, so halving the drawn bits nearly halves the
+    cost (measured 0.21 ms vs 0.59 ms per 39M-element site on v5e, step
+    10.5 -> 11.3k clips/s on the yc2 bench). Distribution: keep iff
+    bits >= round(rate * 2^16), i.e. Bernoulli(1-rate) with the rate
+    quantized to 1/65536 — exact for 2^-k rates, <0.06% relative off for
+    the reference's 0.01/0.05 (the reference's own torch stream differs
+    from any JAX stream; masks are not part of a parity contract).
+
+    A Pallas hardware-PRNG dropout (ops/pallas_dropout.py) was also tried:
+    2.8x cheaper standalone but SLOWER end-to-end (11.3k -> 7.9k) because
+    the opaque kernel call breaks the elementwise fusions XLA otherwise
+    sinks the mask into — kept for the record, not used.
+    """
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        key = self.make_rng("dropout")
+        bits = jax.random.bits(key, x.shape, jnp.uint16)
+        thresh = jnp.uint16(int(round(self.rate * 65536.0)))
+        return jnp.where(bits >= thresh, x / (1.0 - self.rate),
+                         jnp.zeros_like(x))
+
+
 # ---------- Initializers ----------
 
 def make_initializer(init_type: str, init_std: float) -> Initializer:
@@ -192,7 +228,7 @@ class PositionalEncodingSinCos(nn.Module):
         pe = sincos_positional_encoding(self.max_len, self.dim)
         x = x + pe[None, : x.shape[1], :].astype(self.dtype)
         if self.dropout > 0:
-            x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+            x = Dropout(rate=self.dropout)(x, deterministic=deterministic)
         return x
 
 
@@ -223,12 +259,12 @@ class MLP(nn.Module):
         if cfg.num_layers == 1:
             x = dense(cfg.output_dim, "fc_0")(x)
             if cfg.dropout_output > 0:
-                x = nn.Dropout(rate=cfg.dropout_output)(
+                x = Dropout(rate=cfg.dropout_output)(
                     x, deterministic=deterministic)
         else:
             x = dense(cfg.hidden_dim, "fc_0")(x)
             if cfg.dropout_middle > 0:
-                x = nn.Dropout(rate=cfg.dropout_middle)(
+                x = Dropout(rate=cfg.dropout_middle)(
                     x, deterministic=deterministic)
             norm_mid = make_normalization(cfg.norm_middle,
                                           cfg.norm_middle.name, self.dtype)
@@ -239,7 +275,7 @@ class MLP(nn.Module):
                     x = act_middle(x)
                 x = dense(cfg.hidden_dim, f"fc_{n}")(x)
                 if cfg.dropout_middle > 0:
-                    x = nn.Dropout(rate=cfg.dropout_middle)(
+                    x = Dropout(rate=cfg.dropout_middle)(
                         x, deterministic=deterministic)
                 norm_mid_n = make_normalization(
                     cfg.norm_middle, cfg.norm_middle.name, self.dtype)
@@ -249,7 +285,7 @@ class MLP(nn.Module):
                 x = act_middle(x)
             x = dense(cfg.output_dim, f"fc_{cfg.num_layers - 1}")(x)
             if cfg.dropout_output > 0:
-                x = nn.Dropout(rate=cfg.dropout_output)(
+                x = Dropout(rate=cfg.dropout_output)(
                     x, deterministic=deterministic)
 
         if cfg.residual == ResidualsEnum.PASSTHROUGH:

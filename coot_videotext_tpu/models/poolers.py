@@ -27,7 +27,7 @@ from flax import linen as nn
 
 from coot_videotext_tpu.models.configs import PoolerConfig, PoolerConst
 from coot_videotext_tpu.models.attention import einsum_f32
-from coot_videotext_tpu.models.layers import make_activation, make_initializer
+from coot_videotext_tpu.models.layers import Dropout, make_activation, make_initializer
 from coot_videotext_tpu.typext import INF
 from coot_videotext_tpu.models.attention import masked_softmax
 
@@ -107,13 +107,13 @@ class GenPool(nn.Module):
         h = mm("bld,dk->blk", f, w1_flat).astype(self.dtype)
         h = h + b1.reshape(-1).astype(self.dtype)
         if self.dropout > 0:
-            h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+            h = Dropout(rate=self.dropout)(h, deterministic=deterministic)
         h = act(h)
         # (B, L, H*d_head_out = D)
         h = mm("blk,ko->blo", h, w2_blk).astype(self.dtype)
         h = h + b2.reshape(-1).astype(self.dtype)
         if self.dropout > 0:
-            h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+            h = Dropout(rate=self.dropout)(h, deterministic=deterministic)
 
         # masked softmax over the sequence axis; f32 in f32 mode, bf16
         # storage with f32 reductions in bf16 mode (reference fills -INF
@@ -123,7 +123,7 @@ class GenPool(nn.Module):
             out_dtype=self.dtype)
         smweights = smweights.astype(self.dtype)
         if self.dropout > 0:
-            smweights = nn.Dropout(rate=self.dropout)(
+            smweights = Dropout(rate=self.dropout)(
                 smweights, deterministic=deterministic)
         pooled = jnp.sum(f * smweights, axis=1)
         return pooled

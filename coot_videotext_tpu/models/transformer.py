@@ -22,8 +22,7 @@ from coot_videotext_tpu.models.attention import (
     TransformerDecoder, TransformerEncoder)
 from coot_videotext_tpu.models.configs import (
     PositionalEncodingConst, TransformerConfig, TransformerTypesConst)
-from coot_videotext_tpu.models.layers import (
-    MLP, LearnableClsToken, PositionalEncodingSinCos, make_bias_initializer,
+from coot_videotext_tpu.models.layers import (Dropout, MLP, LearnableClsToken, PositionalEncodingSinCos, make_bias_initializer,
     make_initializer, make_normalization)
 from coot_videotext_tpu.models.poolers import make_pooler
 
@@ -67,7 +66,7 @@ class CootTransformer(nn.Module):
 
         x = features.astype(self.dtype)
         if cfg.dropout_input > 0:
-            x = nn.Dropout(rate=cfg.dropout_input)(
+            x = Dropout(rate=cfg.dropout_input)(
                 x, deterministic=deterministic)
         norm_in = make_normalization(None, cfg.norm_input, self.dtype)
         if norm_in is not None:

@@ -136,3 +136,35 @@ def test_dropout_remat_bwd_mask_matches_fwd():
                                np.asarray(y), rtol=1e-6)
     kept = float((np.asarray(y) > 0).mean())
     assert abs(kept - q) < 0.1
+
+
+def test_dropout_module_distribution_and_grad():
+    """models.layers.Dropout: keep-rate ~ 1-rate, inverted scaling, the
+    backward mask equals the forward mask, and same key -> same mask."""
+    from coot_videotext_tpu.models.layers import Dropout
+
+    rate = 0.25
+    mod = Dropout(rate=rate)
+    x = jnp.ones((64, 128), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    def run(k):
+        return mod.apply({}, x, deterministic=False,
+                         rngs={"dropout": k})
+
+    y = np.asarray(run(key))
+    keep = y != 0
+    assert abs(keep.mean() - (1 - rate)) < 0.02
+    assert np.allclose(y[keep], 1.0 / (1 - rate))
+    assert np.array_equal(np.asarray(run(key)), y)  # deterministic in key
+    y2 = np.asarray(run(jax.random.PRNGKey(4)))
+    assert not np.array_equal(y2, y)
+
+    g = jax.grad(lambda x: jnp.sum(mod.apply(
+        {}, x, deterministic=False, rngs={"dropout": key})))(x)
+    g = np.asarray(g)
+    assert np.array_equal(g != 0, keep)  # same mask in backward
+    assert np.allclose(g[keep], 1.0 / (1 - rate))
+
+    y_det = np.asarray(mod.apply({}, x, deterministic=True))
+    assert np.array_equal(y_det, np.asarray(x))
