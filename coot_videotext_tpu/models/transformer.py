@@ -21,12 +21,61 @@ from flax import linen as nn
 from coot_videotext_tpu.models.attention import (
     TransformerDecoder, TransformerEncoder)
 from coot_videotext_tpu.models.configs import (
-    PositionalEncodingConst, TransformerConfig, TransformerTypesConst)
+    ActivationConst, NormalizationConst, PositionalEncodingConst,
+    ResidualsEnum, TransformerConfig, TransformerTypesConst)
 from coot_videotext_tpu.models.layers import (Dropout, MLP, LearnableClsToken, PositionalEncodingSinCos, make_bias_initializer,
     make_initializer, make_normalization)
 from coot_videotext_tpu.models.poolers import make_pooler
 
 Dtype = Any
+
+
+class _CootNormParams(nn.Module):
+    """Parameter-only stand-in for CootLayerNorm: declares the same
+    (gain, bias) leaves under the same tree path (pass name=
+    "CootLayerNorm_0") so the fused input-projection path keeps the
+    parameter pytree, checkpoints and torch-converter mappings identical
+    to the unfused path."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        gain = self.param("gain", nn.initializers.ones_init(),
+                          (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.dim,), jnp.float32)
+        return gain, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for one nn.Dense (kernel, bias)."""
+    din: int
+    dout: int
+    init_type: str
+    init_std: float
+
+    @nn.compact
+    def __call__(self):
+        kinit = make_initializer(self.init_type, self.init_std)
+        binit = make_bias_initializer(self.init_type, self.init_std)
+        w = self.param("kernel", kinit, (self.din, self.dout), jnp.float32)
+        b = self.param("bias", binit, (self.dout,), jnp.float32)
+        return w, b
+
+
+class _InputFCParams(nn.Module):
+    """Parameter-only stand-in for the single-layer input MLP: declares
+    fc_0/{kernel,bias} under this module's name ("input_fc")."""
+    din: int
+    dout: int
+    init_type: str
+    init_std: float
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParams(din=self.din, dout=self.dout,
+                            init_type=self.init_type,
+                            init_std=self.init_std, name="fc_0")()
 
 
 class CootTransformer(nn.Module):
@@ -42,6 +91,31 @@ class CootTransformer(nn.Module):
         if self.cfg.use_context:
             out += self.cfg.crossatn.hidden_dim
         return out
+
+    def _fused_input_act(self, din: int) -> Optional[str]:
+        """Return "gelu"/"none" when the input norm+FC can take the fused
+        pallas kernel (ops/pallas_input_fc.py), else None. Conditions: TPU
+        backend, layernorm_coot input norm, no input dropout, single-layer
+        FC with no dropout/residual/output-norm and gelu/none activation —
+        i.e. exactly the shape of every shipped retrieval config's input
+        projection."""
+        from coot_videotext_tpu.ops.pallas_input_fc import (
+            fused_input_fc_available)
+        cfg = self.cfg
+        if (cfg.norm_input != NormalizationConst.LAYERNORM_COOT
+                or not cfg.use_input_fc or cfg.dropout_input > 0):
+            return None
+        fc = cfg.input_fc_config
+        if (fc.num_layers != 1 or fc.dropout_output > 0
+                or fc.residual != ResidualsEnum.NONE
+                or fc.norm_output.name != NormalizationConst.NONE
+                or fc.activation_output.name not in
+                (ActivationConst.GELU, ActivationConst.NONE)):
+            return None
+        if not fused_input_fc_available(din, fc.output_dim):
+            return None
+        return ("gelu" if fc.activation_output.name == ActivationConst.GELU
+                else "none")
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
@@ -65,16 +139,38 @@ class CootTransformer(nn.Module):
         init_type, init_std = cfg.weight_init_type, cfg.weight_init_std
 
         x = features.astype(self.dtype)
-        if cfg.dropout_input > 0:
-            x = Dropout(rate=cfg.dropout_input)(
-                x, deterministic=deterministic)
-        norm_in = make_normalization(None, cfg.norm_input, self.dtype)
-        if norm_in is not None:
-            x = norm_in(x)
-        if cfg.use_input_fc:
-            x = MLP(cfg=cfg.input_fc_config, init_type=init_type,
-                    init_std=init_std, dtype=self.dtype,
-                    name="input_fc")(x, deterministic=deterministic)
+        fused_act = self._fused_input_act(x.shape[-1])
+        if fused_act is not None:
+            # fused CootLayerNorm -> Dense -> (gelu) pallas kernel over the
+            # raw input rows (ops/pallas_input_fc.py) — one HBM pass instead
+            # of the norm/matmul/residual round-trips. Only taken at the
+            # input projection, where the features come from the data
+            # pipeline and are never differentiated (the kernel returns a
+            # zero input cotangent). Param tree identical to the unfused
+            # path via the parameter-only stand-in modules.
+            from coot_videotext_tpu.ops.pallas_input_fc import fused_input_fc
+            fc = cfg.input_fc_config
+            din = x.shape[-1]
+            gain, nbias = _CootNormParams(dim=din,
+                                          name="CootLayerNorm_0")()
+            w, b = _InputFCParams(din=din, dout=fc.output_dim,
+                                  init_type=init_type, init_std=init_std,
+                                  name="input_fc")()
+            bsz, seq, _ = x.shape
+            x = fused_input_fc(x.reshape(bsz * seq, din), gain, nbias,
+                               w, b, 1e-6, fused_act)
+            x = x.reshape(bsz, seq, fc.output_dim)
+        else:
+            if cfg.dropout_input > 0:
+                x = Dropout(rate=cfg.dropout_input)(
+                    x, deterministic=deterministic)
+            norm_in = make_normalization(None, cfg.norm_input, self.dtype)
+            if norm_in is not None:
+                x = norm_in(x)
+            if cfg.use_input_fc:
+                x = MLP(cfg=cfg.input_fc_config, init_type=init_type,
+                        init_std=init_std, dtype=self.dtype,
+                        name="input_fc")(x, deterministic=deterministic)
 
         if cfg.add_local_cls_token:
             x, mask, lengths = LearnableClsToken(

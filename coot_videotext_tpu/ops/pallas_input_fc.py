@@ -1,0 +1,299 @@
+"""
+Fused input projection: CootLayerNorm -> Dense -> (gelu) in ONE Pallas
+TPU kernel, with a recompute-based custom VJP.
+
+Why: every COOT local network first normalizes the raw feature rows
+(4096-d video / 1536-d text; reference transformer_legacy.py:200-214 applies
+`layernorm_coot` then the input FC) and projects them to d=384. In XLA this
+costs several HBM round-trips over the widest tensors in the whole model:
+the norm's reduction+normalize pass (~3 ms standalone on the bench shapes),
+the normalized activation re-read by the matmul, and the same activation
+saved as a forward->backward residual. Fused, the kernel reads each input
+row ONCE, keeps statistics + normalized values in VMEM, feeds the MXU
+in-register and writes only the (S, 384) projection (plus the (S, 384)
+pre-activation residual for backward) — HBM traffic drops from ~5 passes
+over (S, 4096) to one.
+
+MEASURED END-TO-END: a wash on the yc2 train bench (12.25k clips/s fused
+vs 12.22k unfused) — the step-level ablation shows the input-side passes
+overlap other work in XLA's schedule, so shrinking them does not shorten
+the critical path (model fwd+bwd at the attention/pooler shapes dominates).
+Kept enabled: it reduces HBM pressure at zero measured cost, wins on
+memory-bound variants (bigger batches / wider features), and its VMEM
+residency is exactly what the scaling-relevant larger configs need.
+
+Backward recomputes the norm from x in VMEM (x is re-read once) and emits
+dW, db, dgain, dbias. **The input cotangent is NOT computed** (returned as
+zeros): this kernel is only for the input projection, whose features come
+from the data pipeline (HBM feature-store gathers + augmentation noise) and
+are never differentiated. models/transformer.py gates the fused path on
+exactly that structural position (plus TPU backend + layernorm_coot +
+single-layer FC with gelu/none activation); every other configuration takes
+the unfused XLA path.
+
+Numerics: statistics and normalization in f32 (sum / sum-of-squares
+single-pass, Bessel ddof=1 variance, eps on std, zero-variance guard —
+identical formulas to models/layers.py CootLayerNorm); the normalized rows
+are rounded to the compute dtype before the MXU exactly like the unfused
+path rounds the norm output; the matmul accumulates f32. gelu is the exact
+erf form. Off-TPU and in any non-matching configuration the module falls
+back to the unfused ops, which the parity suite pins to torch golden values.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT2 = float(np.sqrt(2.0))
+_INV_SQRT2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def fused_input_fc_available(din: int, dout: int) -> bool:
+    if os.environ.get("COOT_TPU_FUSED_INPUT_FC", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return din % 128 == 0 and dout % 128 == 0
+
+
+def _erf(z):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7 — far below
+    bf16 resolution); Mosaic has no erf lowering, exp it has."""
+    s = jnp.sign(z)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu(x):
+    return 0.5 * x * (1.0 + _erf(x / _SQRT2))
+
+
+def _gelu_grad(x):
+    return (0.5 * (1.0 + _erf(x / _SQRT2))
+            + x * jnp.exp(-0.5 * x * x) * _INV_SQRT2PI)
+
+
+def _norm_rows(x32, gain, bias, eps: float):
+    """CootLayerNorm over the last axis; returns (xhat, xn) in f32."""
+    din = x32.shape[-1]
+    s1 = jnp.sum(x32, axis=-1, keepdims=True)
+    s2 = jnp.sum(x32 * x32, axis=-1, keepdims=True)
+    mean = s1 / din
+    var = jnp.maximum(s2 - mean * s1, 0.0) / max(din - 1, 1)
+    var_pos = var > 0.0
+    std = jnp.where(var_pos, jnp.sqrt(jnp.where(var_pos, var, 1.0)), 0.0)
+    xhat = (x32 - mean) / (std + eps)
+    return xhat, gain * xhat + bias
+
+
+def _pick_block_rows(s: int, din: int, dout: int, bwd: bool) -> int:
+    """Rows per grid step within a VMEM budget. Forward holds the x block
+    (bf16+f32 temps) and the (din, dout) weight tile; backward additionally
+    holds the f32 dW accumulator, the dxn block and the recomputed xhat."""
+    budget = 14 * 1024 * 1024
+    # bf16 weight tile; backward adds the f32 dW accumulator
+    fixed = 2 * din * dout + (4 * din * dout if bwd else 0)
+    bytes_per_row = (4 + 2 + 2) * din + 16 * dout
+    if bwd:
+        bytes_per_row = (4 + 4 + 2 + 2 + 4) * din + 24 * dout
+    bs = (budget - fixed) // max(bytes_per_row, 1)
+    # min 32 rows: stay above the bf16 (16, 128) tile and keep the MXU
+    # contraction dim workable; _fits() gates callers when even 32 rows
+    # blow the budget
+    bs = max(32, min(1024, bs))
+    bs = 1 << int(np.floor(np.log2(bs)))
+    while s % bs:
+        bs //= 2
+    return max(bs, 1)
+
+
+def _fwd_kernel(x_ref, gain_ref, bias_ref, w_ref, b_ref, y_ref, pre_ref,
+                *, eps: float, act: str):
+    x32 = x_ref[...].astype(jnp.float32)
+    _, xn = _norm_rows(x32, gain_ref[...], bias_ref[...], eps)
+    xn_c = xn.astype(w_ref.dtype)
+    pre = jax.lax.dot_general(
+        xn_c, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[...]
+    pre_ref[...] = pre
+    y = _gelu(pre) if act == "gelu" else pre
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _bwd_kernel(x_ref, gain_ref, bias_ref, w_ref, pre_ref, dy_ref,
+                dw_ref, db_ref, dgain_ref, dbias_ref,
+                acc_dw, acc_db, acc_dgain, acc_dbias,
+                *, eps: float, act: str):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_dw[...] = jnp.zeros_like(acc_dw)
+        acc_db[...] = jnp.zeros_like(acc_db)
+        acc_dgain[...] = jnp.zeros_like(acc_dgain)
+        acc_dbias[...] = jnp.zeros_like(acc_dbias)
+
+    x32 = x_ref[...].astype(jnp.float32)
+    xhat, xn = _norm_rows(x32, gain_ref[...], bias_ref[...], eps)
+    dy = dy_ref[...].astype(jnp.float32)
+    if act == "gelu":
+        dpre = dy * _gelu_grad(pre_ref[...])
+    else:
+        dpre = dy
+    dpre_c = dpre.astype(w_ref.dtype)
+    xn_c = xn.astype(w_ref.dtype)
+    # dW += xn^T dpre ; db += sum(dpre)
+    acc_dw[...] += jax.lax.dot_general(
+        xn_c, dpre_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_db[...] += jnp.sum(dpre, axis=0, keepdims=True)
+    # dxn = dpre W^T ; dgain += sum(dxn * xhat) ; dbias += sum(dxn)
+    dxn = jax.lax.dot_general(
+        dpre_c, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_dgain[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    acc_dbias[...] += jnp.sum(dxn, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _flush():
+        dw_ref[...] = acc_dw[...]
+        db_ref[...] = acc_db[...]
+        dgain_ref[...] = acc_dgain[...]
+        dbias_ref[...] = acc_dbias[...]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_input_fc(x: jnp.ndarray, gain: jnp.ndarray, bias: jnp.ndarray,
+                   w: jnp.ndarray, b: jnp.ndarray, eps: float,
+                   act: str) -> jnp.ndarray:
+    """
+    y = act(W @ cootnorm(x; gain, bias) + b), fused.
+
+    Args:
+        x: (S, Din) features — NON-DIFFERENTIABLE data (dx returned as 0)
+        gain/bias: (Din,) f32 CootLayerNorm parameters
+        w: (Din, Dout) f32 Dense kernel; b: (Dout,) f32 Dense bias
+        eps: norm epsilon (static); act: "gelu" | "none" (static)
+
+    Returns (S, Dout) in x.dtype.
+    """
+    y, _ = _fwd_call(x, gain, bias, w, b, eps, act)
+    return y
+
+
+def _fwd_call(x, gain, bias, w, b, eps, act):
+    s, din = x.shape
+    dout = w.shape[1]
+    bs = _pick_block_rows(s, din, dout, bwd=False)
+    w_c = w.astype(x.dtype)
+    grid = s // bs
+    y, pre = pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps, act=act),
+        out_shape=(jax.ShapeDtypeStruct((s, dout), x.dtype),
+                   jax.ShapeDtypeStruct((s, dout), jnp.float32)),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((bs, din), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((din,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((din,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, dout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dout,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((bs, dout), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bs, dout), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * din * dout + 6 * s * din,
+            transcendentals=s * dout,
+            bytes_accessed=(x.dtype.itemsize * s * din
+                            + 4 * 2 * s * dout)),
+    )(x, gain, bias, w_c, b)
+    return y, pre
+
+
+def _vjp_fwd(x, gain, bias, w, b, eps, act):
+    y, pre = _fwd_call(x, gain, bias, w, b, eps, act)
+    return y, (x, gain, bias, w, pre)
+
+
+def _vjp_bwd(eps, act, res, dy):
+    x, gain, bias, w, pre = res
+    s, din = x.shape
+    dout = w.shape[1]
+    bs = _pick_block_rows(s, din, dout, bwd=True)
+    w_c = w.astype(x.dtype)
+    grid = s // bs
+    dw, db, dgain, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, act=act),
+        out_shape=(jax.ShapeDtypeStruct((din, dout), jnp.float32),
+                   jax.ShapeDtypeStruct((1, dout), jnp.float32),
+                   jax.ShapeDtypeStruct((1, din), jnp.float32),
+                   jax.ShapeDtypeStruct((1, din), jnp.float32)),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((bs, din), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((din,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((din,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, dout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, dout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, dout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((din, dout), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, dout), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, din), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, din), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((din, dout), jnp.float32),
+            pltpu.VMEM((1, dout), jnp.float32),
+            pltpu.VMEM((1, din), jnp.float32),
+            pltpu.VMEM((1, din), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * din * dout + 10 * s * din,
+            transcendentals=s * dout,
+            bytes_accessed=(x.dtype.itemsize * s * din
+                            + 4 * 2 * s * dout)),
+    )(x, gain, bias, w_c, pre, dy)
+    return (jnp.zeros_like(x), dgain.reshape(din), dbias.reshape(din),
+            dw, db.reshape(dout))
+
+
+fused_input_fc.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_input_fc_reference(x, gain, bias, w, b, eps, act):
+    """Unfused XLA reference with identical numerics (tests/benchmarks)."""
+    x32 = x.astype(jnp.float32)
+    _, xn = _norm_rows(x32, gain, bias, eps)
+    xn_c = xn.astype(x.dtype)
+    pre = jax.lax.dot_general(
+        xn_c, w.astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b
+    y = _gelu(pre) if act == "gelu" else pre
+    return y.astype(x.dtype)

@@ -1,0 +1,135 @@
+"""
+Fused input-projection op (ops/pallas_input_fc.py) tests.
+
+The conftest pins tests to the CPU backend, where the pallas kernel is
+unavailable — these tests cover the pure-function reference numerics, the
+structural gating, and the parameter-tree identity between the fused and
+unfused module paths. Kernel-vs-reference numerics are asserted in the
+TPU-gated test at the bottom (skipped on CPU; exercised on real hardware
+by tools/ scripts and the bench).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from coot_videotext_tpu.ops.pallas_input_fc import (
+    _erf, fused_input_fc_reference)
+
+
+def _unfused_module_path(x, gain, bias, w, b, eps):
+    """CootLayerNorm -> Dense -> gelu exactly as the unfused modules
+    compose (models/layers.py CootLayerNorm + MLP single layer)."""
+    from coot_videotext_tpu.models.layers import CootLayerNorm
+    norm = CootLayerNorm(eps=eps, dtype=x.dtype)
+    xn = norm.apply({"params": {"gain": gain, "bias": bias}}, x)
+    pre = (xn @ w.astype(x.dtype)).astype(jnp.float32) + b
+    return jax.nn.gelu(pre, approximate=False).astype(x.dtype)
+
+
+def test_reference_matches_unfused_modules():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 256), jnp.float32)
+    gain = jnp.asarray(rng.rand(256) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(256) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.randn(256, 128) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(128) * 0.01, jnp.float32)
+    y_ref = fused_input_fc_reference(x, gain, bias, w, b, 1e-6, "gelu")
+    y_mod = _unfused_module_path(x, gain, bias, w, b, 1e-6)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_mod),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_erf_poly_accuracy():
+    z = jnp.linspace(-6.0, 6.0, 4001)
+    err = np.abs(np.asarray(_erf(z)) - np.asarray(jax.lax.erf(z)))
+    assert err.max() < 1e-6  # A&S bound 1.5e-7 + f32 eval rounding
+
+
+def test_fused_gating_structural():
+    """The fused path must only engage for the exact input-projection
+    shape it implements (and never on CPU)."""
+    from coot_videotext_tpu.models.transformer import CootTransformer
+    from coot_videotext_tpu.models.configs import TransformerConfig
+    from tests.helpers import small_net_config
+
+    cfg = TransformerConfig(dict(small_net_config(128, 64),
+                                 name="transformer"))
+    net = CootTransformer(cfg=cfg, dtype=jnp.float32)
+    # on the CPU test backend the kernel is never available
+    assert net._fused_input_act(128) is None
+
+    # structural rejections, independent of backend
+    cfg2 = TransformerConfig(dict(small_net_config(128, 64),
+                                  name="transformer"))
+    cfg2.norm_input = "none"
+    assert CootTransformer(cfg=cfg2)._fused_input_act(128) is None
+    cfg3 = TransformerConfig(dict(small_net_config(128, 64),
+                                  name="transformer"))
+    cfg3.input_fc_config.residual = "passthrough"
+    assert CootTransformer(cfg=cfg3)._fused_input_act(128) is None
+
+
+def test_param_tree_paths_match_unfused():
+    """The parameter-only stand-in modules must produce the identical
+    pytree paths (CootLayerNorm_0/{gain,bias}, input_fc/fc_0/{kernel,bias})
+    AND identical initial values as the unfused path, so checkpoints and
+    the torch converter are path-independent of the fused toggle."""
+    from coot_videotext_tpu.models.transformer import (
+        _CootNormParams, _InputFCParams, CootTransformer)
+    from coot_videotext_tpu.models.configs import TransformerConfig
+    from flax import linen as nn
+    from tests.helpers import small_net_config
+
+    cfg = TransformerConfig(dict(small_net_config(32, 64),
+                                 name="transformer"))
+    net = CootTransformer(cfg=cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 5, 48))
+    mask = jnp.ones((2, 5), bool)
+    lens = jnp.full((2,), 5, jnp.int32)
+    params = net.init({"params": jax.random.PRNGKey(0), "dropout":
+                       jax.random.PRNGKey(0)}, x, mask, lens, None,
+                      deterministic=True)["params"]
+
+    class Standins(nn.Module):
+        @nn.compact
+        def __call__(self):
+            g, b = _CootNormParams(dim=48, name="CootLayerNorm_0")()
+            w, bb = _InputFCParams(din=48, dout=32,
+                                   init_type=cfg.weight_init_type,
+                                   init_std=cfg.weight_init_std,
+                                   name="input_fc")()
+            return g, b, w, bb
+
+    sp = Standins().init(jax.random.PRNGKey(0))["params"]
+    assert set(sp.keys()) == {"CootLayerNorm_0", "input_fc"}
+    np.testing.assert_array_equal(
+        np.asarray(sp["CootLayerNorm_0"]["gain"]),
+        np.asarray(params["CootLayerNorm_0"]["gain"]))
+    np.testing.assert_array_equal(
+        np.asarray(sp["CootLayerNorm_0"]["bias"]),
+        np.asarray(params["CootLayerNorm_0"]["bias"]))
+    assert sp["input_fc"]["fc_0"]["kernel"].shape == \
+        params["input_fc"]["fc_0"]["kernel"].shape
+    assert sp["input_fc"]["fc_0"]["bias"].shape == \
+        params["input_fc"]["fc_0"]["bias"].shape
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pallas TPU kernel")
+def test_fused_kernel_matches_reference_tpu():
+    from coot_videotext_tpu.ops.pallas_input_fc import fused_input_fc
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(512, 1536), jnp.bfloat16)
+    gain = jnp.asarray(rng.rand(1536) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(1536) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.randn(1536, 384) * 0.02, jnp.float32)
+    b = jnp.asarray(rng.randn(384) * 0.01, jnp.float32)
+    yk = np.asarray(jax.jit(lambda *a: fused_input_fc(*a, 1e-6, "gelu"))(
+        x, gain, bias, w, b), np.float32)
+    yr = np.asarray(fused_input_fc_reference(x, gain, bias, w, b, 1e-6,
+                                             "gelu"), np.float32)
+    scale = max(np.abs(yr).max(), 1e-6)
+    assert np.abs(yk - yr).max() / scale < 5e-3  # one bf16 ulp

@@ -6,7 +6,11 @@ latency. Each variant changes one thing vs the bench workload.
 """
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import tempfile
 import time
 from pathlib import Path
@@ -226,5 +230,106 @@ def main():
     print(f"sample only:            {res['sample']*1e3:8.2f} ms", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) < 2):
     main()
+
+
+def variant_model_only(ctx, *, dropout=True):
+    """Scan of fwd+bwd+opt over ONE fixed pre-gathered batch (no per-step
+    sampling/gather): isolates model+optimizer cost at real shapes."""
+    from coot_videotext_tpu.data.device_store import (
+        device_sample_batch, gather_dense_batch)
+    from coot_videotext_tpu.parallel.mesh import replicated_sharding
+    from coot_videotext_tpu.tasks.retrieval.steps import TrainState
+    from coot_videotext_tpu.train.losses import (
+        compute_total_retrieval_loss)
+    cfg = ctx["cfg"]
+    meta = ctx["meta"]
+    model = ctx["mgr"].model_train if dropout else ctx["mgr"].model_eval
+    optimizer = ctx["optimizer"]
+    lw = cfg.train.contrastive_loss_config.as_dict()
+    margin = cfg.train.contrastive_loss_config.margin
+    lcc = cfg.train.loss_cycle_cons
+
+    @jax.jit
+    def make_batch(ids, rng, vid_store, text_store, tables):
+        k_sample, k_noise = jax.random.split(rng)
+        batch = device_sample_batch(
+            tables, ids, meta.shapes, meta.max_frames, rng=k_sample,
+            batch_valid=jnp.ones((64,), bool))
+        return gather_dense_batch(batch, vid_store, text_store,
+                                  frames_noise=0.01, rng=k_noise)
+
+    batch = make_batch(group_ids(ctx, 0)[0], jax.random.PRNGKey(1),
+                       ctx["store"].vid_store, ctx["store"].text_store,
+                       ctx["meta"].tables)
+
+    def group_fn(state, batch, lr, rng):
+        def body(carry, key):
+            state = carry
+            k_drop, k_cc = jax.random.split(key)
+
+            def loss_fn(params):
+                out = model.apply(
+                    {"params": params}, batch,
+                    deterministic=not dropout,
+                    rngs={"dropout": k_drop} if dropout else {})
+                visual = {k: out[k] for k in
+                          ("vid_emb", "clip_emb", "vid_context",
+                           "clip_valid", "clip_num")}
+                text = {k: out[k] for k in
+                        ("par_emb", "sent_emb", "par_context",
+                         "sent_valid", "sent_num")}
+                loss, parts = compute_total_retrieval_loss(
+                    visual, text, lw, margin, lcc, rng=k_cc,
+                    batch_valid=batch["batch_valid"])
+                return loss, parts
+
+            (_, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_params, new_opt = optimizer.update(
+                grads, state.opt_state, state.params, lr)
+            return TrainState(new_params, new_opt, state.step + 1), parts
+
+        keys = jax.random.split(rng, GROUP)
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, metrics
+
+    scan_step = jax.jit(group_fn, donate_argnums=(0,))
+    lr = jnp.float32(3.6e-4)
+    rng = jax.random.PRNGKey(0)
+    state_box = [jax.device_put(ctx["state_host"],
+                                replicated_sharding(ctx["mesh"]))]
+
+    def run(g):
+        st, _ = scan_step(state_box[0], batch, lr,
+                          jax.random.fold_in(rng, g))
+        state_box[0] = st
+
+    def sync():
+        return float(jnp.mean(jax.tree_util.tree_leaves(
+            state_box[0].params)[0].astype(jnp.float32)))
+
+    return time_chain(run, sync)
+
+
+def main2():
+    ctx = build()
+    res = {}
+    res["full"] = variant_full(ctx)
+    print(f"full train step:         {res['full']*1e3:8.2f} ms", flush=True)
+    res["model_only"] = variant_model_only(ctx)
+    print(f"model+opt only (fixed batch): {res['model_only']*1e3:8.2f} ms",
+          flush=True)
+    res["model_only_det"] = variant_model_only(ctx, dropout=False)
+    print(f"model+opt only, no dropout:   "
+          f"{res['model_only_det']*1e3:8.2f} ms", flush=True)
+    res["fwd"] = variant_forward_only(ctx)
+    print(f"sample+gather+forward:   {res['fwd']*1e3:8.2f} ms", flush=True)
+    res["gather"] = variant_forward_only(ctx, gather_only=True)
+    print(f"sample+gather+noise:     {res['gather']*1e3:8.2f} ms",
+          flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "2":
+    main2()
