@@ -59,12 +59,18 @@ class Dropout(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: Optional[bool] = None) -> jnp.ndarray:
+        # match nn.Dropout: an unspecified deterministic is a loud error,
+        # not silently-disabled dropout
+        assert deterministic is not None, (
+            "Dropout requires an explicit deterministic argument")
         if deterministic or self.rate == 0.0:
             return x
+        if self.rate >= 1.0:
+            return jnp.zeros_like(x)  # nn.Dropout semantics at rate 1
         key = self.make_rng("dropout")
         bits = jax.random.bits(key, x.shape, jnp.uint16)
-        thresh = jnp.uint16(int(round(self.rate * 65536.0)))
+        thresh = jnp.uint16(min(int(round(self.rate * 65536.0)), 65535))
         return jnp.where(bits >= thresh, x / (1.0 - self.rate),
                          jnp.zeros_like(x))
 

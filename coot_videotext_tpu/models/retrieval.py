@@ -132,15 +132,18 @@ class RetrievalModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self) -> None:
+        # local nets consume raw pipeline features (non-differentiable) —
+        # this unlocks the fused input-projection kernel; the global nets
+        # consume differentiable local-net outputs and must not set it
         self.net_video_local = CootTransformer(
             cfg=self.model_cfgs[RetrievalNetworksConst.NET_VIDEO_LOCAL],
-            max_len=self.max_len, dtype=self.dtype)
+            max_len=self.max_len, dtype=self.dtype, input_is_data=True)
         self.net_video_global = CootTransformer(
             cfg=self.model_cfgs[RetrievalNetworksConst.NET_VIDEO_GLOBAL],
             max_len=self.max_len, dtype=self.dtype)
         self.net_text_local = CootTransformer(
             cfg=self.model_cfgs[RetrievalNetworksConst.NET_TEXT_LOCAL],
-            max_len=self.max_len, dtype=self.dtype)
+            max_len=self.max_len, dtype=self.dtype, input_is_data=True)
         self.net_text_global = CootTransformer(
             cfg=self.model_cfgs[RetrievalNetworksConst.NET_TEXT_GLOBAL],
             max_len=self.max_len, dtype=self.dtype)

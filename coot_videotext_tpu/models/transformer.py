@@ -79,10 +79,19 @@ class _InputFCParams(nn.Module):
 
 
 class CootTransformer(nn.Module):
-    """One COOT network (reference TransformerLegacy)."""
+    """One COOT network (reference TransformerLegacy).
+
+    input_is_data: promise that the features passed to __call__ are
+    NON-differentiable pipeline data (no gradient ever flows into them).
+    Only then may the fused input-projection kernel engage — its VJP
+    returns a zero input cotangent (ops/pallas_input_fc.py). The
+    retrieval model sets this for its LOCAL nets only; the global nets
+    consume differentiable local-net outputs and must keep the default.
+    """
     cfg: TransformerConfig
     max_len: int = 1024
     dtype: Dtype = jnp.float32
+    input_is_data: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -98,10 +107,14 @@ class CootTransformer(nn.Module):
         backend, layernorm_coot input norm, no input dropout, single-layer
         FC with no dropout/residual/output-norm and gelu/none activation —
         i.e. exactly the shape of every shipped retrieval config's input
-        projection."""
+        projection — AND the caller's input_is_data promise (the kernel's
+        VJP returns a zero input cotangent, which is only sound when the
+        input is pipeline data, never a differentiable activation)."""
         from coot_videotext_tpu.ops.pallas_input_fc import (
             fused_input_fc_available)
         cfg = self.cfg
+        if not self.input_is_data:
+            return None
         if (cfg.norm_input != NormalizationConst.LAYERNORM_COOT
                 or not cfg.use_input_fc or cfg.dropout_input > 0):
             return None
@@ -112,7 +125,8 @@ class CootTransformer(nn.Module):
                 or fc.activation_output.name not in
                 (ActivationConst.GELU, ActivationConst.NONE)):
             return None
-        if not fused_input_fc_available(din, fc.output_dim):
+        itemsize = jnp.dtype(self.dtype).itemsize
+        if not fused_input_fc_available(din, fc.output_dim, itemsize):
             return None
         return ("gelu" if fc.activation_output.name == ActivationConst.GELU
                 else "none")
@@ -140,6 +154,8 @@ class CootTransformer(nn.Module):
 
         x = features.astype(self.dtype)
         fused_act = self._fused_input_act(x.shape[-1])
+        if fused_act is not None and (x.shape[0] * x.shape[1]) % 32:
+            fused_act = None  # row count must tile into >=32-row blocks
         if fused_act is not None:
             # fused CootLayerNorm -> Dense -> (gelu) pallas kernel over the
             # raw input rows (ops/pallas_input_fc.py) — one HBM pass instead

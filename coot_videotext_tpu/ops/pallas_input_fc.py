@@ -56,12 +56,20 @@ _SQRT2 = float(np.sqrt(2.0))
 _INV_SQRT2PI = float(1.0 / np.sqrt(2.0 * np.pi))
 
 
-def fused_input_fc_available(din: int, dout: int) -> bool:
+def fused_input_fc_available(din: int, dout: int,
+                             itemsize: int = 2) -> bool:
+    """True when the kernel supports (din, dout) at the given compute
+    itemsize (x/w bytes: 2 for bf16, 4 for f32) — lane alignment AND the
+    VMEM fit of the backward kernel at >= 32 rows per block; callers fall
+    back to the unfused XLA path otherwise."""
     if os.environ.get("COOT_TPU_FUSED_INPUT_FC", "1") == "0":
         return False
     if jax.default_backend() != "tpu":
         return False
-    return din % 128 == 0 and dout % 128 == 0
+    if din % 128 != 0 or dout % 128 != 0:
+        return False
+    fixed, per_row = _bwd_footprint(din, dout, itemsize)
+    return fixed + 32 * per_row <= _VMEM_BUDGET
 
 
 def _erf(z):
@@ -97,20 +105,33 @@ def _norm_rows(x32, gain, bias, eps: float):
     return xhat, gain * xhat + bias
 
 
-def _pick_block_rows(s: int, din: int, dout: int, bwd: bool) -> int:
-    """Rows per grid step within a VMEM budget. Forward holds the x block
-    (bf16+f32 temps) and the (din, dout) weight tile; backward additionally
-    holds the f32 dW accumulator, the dxn block and the recomputed xhat."""
-    budget = 14 * 1024 * 1024
-    # bf16 weight tile; backward adds the f32 dW accumulator
-    fixed = 2 * din * dout + (4 * din * dout if bwd else 0)
-    bytes_per_row = (4 + 2 + 2) * din + 16 * dout
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _bwd_footprint(din: int, dout: int, itemsize: int):
+    """(fixed bytes, bytes per block row) of the backward kernel: the
+    weight tile is cast to the compute dtype, the dW accumulator is f32;
+    per row it holds x, the f32 upcast + xhat, the compute-dtype xn copy,
+    the f32 dxn, and the (dout)-wide dy/pre/dpre temps."""
+    fixed = itemsize * din * dout + 4 * din * dout
+    per_row = (itemsize + 4 + 4 + itemsize + 4) * din + 24 * dout
+    return fixed, per_row
+
+
+def _pick_block_rows(s: int, din: int, dout: int, itemsize: int,
+                     bwd: bool) -> int:
+    """Rows per grid step within the VMEM budget. Forward holds the x
+    block (+f32 temps) and the weight tile; backward additionally holds
+    the f32 dW accumulator, the dxn block and the recomputed xhat.
+    fused_input_fc_available() guarantees >= 32 rows fit for backward."""
     if bwd:
-        bytes_per_row = (4 + 4 + 2 + 2 + 4) * din + 24 * dout
-    bs = (budget - fixed) // max(bytes_per_row, 1)
-    # min 32 rows: stay above the bf16 (16, 128) tile and keep the MXU
-    # contraction dim workable; _fits() gates callers when even 32 rows
-    # blow the budget
+        fixed, bytes_per_row = _bwd_footprint(din, dout, itemsize)
+    else:
+        fixed = itemsize * din * dout
+        bytes_per_row = (4 + 2 * itemsize) * din + 16 * dout
+    bs = (_VMEM_BUDGET - fixed) // max(bytes_per_row, 1)
+    # min 32 rows: stays above the bf16 (16, 128) tile and keeps the MXU
+    # contraction dim workable
     bs = max(32, min(1024, bs))
     bs = 1 << int(np.floor(np.log2(bs)))
     while s % bs:
@@ -118,15 +139,16 @@ def _pick_block_rows(s: int, din: int, dout: int, bwd: bool) -> int:
     return max(bs, 1)
 
 
-def _fwd_kernel(x_ref, gain_ref, bias_ref, w_ref, b_ref, y_ref, pre_ref,
-                *, eps: float, act: str):
+def _fwd_kernel(x_ref, gain_ref, bias_ref, w_ref, b_ref, y_ref,
+                pre_ref=None, *, eps: float, act: str):
     x32 = x_ref[...].astype(jnp.float32)
     _, xn = _norm_rows(x32, gain_ref[...], bias_ref[...], eps)
     xn_c = xn.astype(w_ref.dtype)
     pre = jax.lax.dot_general(
         xn_c, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b_ref[...]
-    pre_ref[...] = pre
+    if pre_ref is not None:  # backward needs the pre-activation residual
+        pre_ref[...] = pre
     y = _gelu(pre) if act == "gelu" else pre
     y_ref[...] = y.astype(y_ref.dtype)
 
@@ -188,20 +210,25 @@ def fused_input_fc(x: jnp.ndarray, gain: jnp.ndarray, bias: jnp.ndarray,
 
     Returns (S, Dout) in x.dtype.
     """
-    y, _ = _fwd_call(x, gain, bias, w, b, eps, act)
-    return y
+    # primal-only call (eval / no grad): skip the pre-activation residual
+    # output entirely - pallas outputs are not DCE'd by XLA
+    return _fwd_call(x, gain, bias, w, b, eps, act, need_pre=False)[0]
 
 
-def _fwd_call(x, gain, bias, w, b, eps, act):
+def _fwd_call(x, gain, bias, w, b, eps, act, need_pre=True):
     s, din = x.shape
     dout = w.shape[1]
-    bs = _pick_block_rows(s, din, dout, bwd=False)
+    bs = _pick_block_rows(s, din, dout, x.dtype.itemsize, bwd=False)
     w_c = w.astype(x.dtype)
     grid = s // bs
-    y, pre = pl.pallas_call(
+    if need_pre:
+        out_shape = (jax.ShapeDtypeStruct((s, dout), x.dtype),
+                     jax.ShapeDtypeStruct((s, dout), jnp.float32))
+    else:
+        out_shape = (jax.ShapeDtypeStruct((s, dout), x.dtype),)
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps, act=act),
-        out_shape=(jax.ShapeDtypeStruct((s, dout), x.dtype),
-                   jax.ShapeDtypeStruct((s, dout), jnp.float32)),
+        out_shape=out_shape,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((bs, din), lambda i: (i, 0),
@@ -215,17 +242,17 @@ def _fwd_call(x, gain, bias, w, b, eps, act):
             pl.BlockSpec((dout,), lambda i: (0,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((bs, dout), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((bs, dout), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)),
+        out_specs=tuple(
+            pl.BlockSpec((bs, dout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in out_shape),
         cost_estimate=pl.CostEstimate(
             flops=2 * s * din * dout + 6 * s * din,
             transcendentals=s * dout,
             bytes_accessed=(x.dtype.itemsize * s * din
                             + 4 * 2 * s * dout)),
     )(x, gain, bias, w_c, b)
-    return y, pre
+    return out if need_pre else (out[0], None)
 
 
 def _vjp_fwd(x, gain, bias, w, b, eps, act):
@@ -237,7 +264,7 @@ def _vjp_bwd(eps, act, res, dy):
     x, gain, bias, w, pre = res
     s, din = x.shape
     dout = w.shape[1]
-    bs = _pick_block_rows(s, din, dout, bwd=True)
+    bs = _pick_block_rows(s, din, dout, x.dtype.itemsize, bwd=True)
     w_c = w.astype(x.dtype)
     grid = s // bs
     dw, db, dgain, dbias = pl.pallas_call(

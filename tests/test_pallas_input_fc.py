@@ -93,9 +93,24 @@ def test_param_tree_paths_match_unfused():
                        jax.random.PRNGKey(0)}, x, mask, lens, None,
                       deterministic=True)["params"]
 
-    class Standins(nn.Module):
+    # Two parents with the SAME name ("net") so the stand-ins' rng fold
+    # paths match the unfused modules' — truncnorm values must then be
+    # bit-identical, proving fused-path checkpoints load into the
+    # unfused path unchanged.
+    from coot_videotext_tpu.models.layers import (MLP, CootLayerNorm)
+
+    class UnfusedParent(nn.Module):
         @nn.compact
-        def __call__(self):
+        def __call__(self, x):
+            x = CootLayerNorm(dtype=jnp.float32)(x)
+            return MLP(cfg=cfg.input_fc_config,
+                       init_type=cfg.weight_init_type,
+                       init_std=cfg.weight_init_std,
+                       dtype=jnp.float32, name="input_fc")(x)
+
+    class StandinParent(nn.Module):
+        @nn.compact
+        def __call__(self, x):
             g, b = _CootNormParams(dim=48, name="CootLayerNorm_0")()
             w, bb = _InputFCParams(din=48, dout=32,
                                    init_type=cfg.weight_init_type,
@@ -103,18 +118,25 @@ def test_param_tree_paths_match_unfused():
                                    name="input_fc")()
             return g, b, w, bb
 
-    sp = Standins().init(jax.random.PRNGKey(0))["params"]
+    x48 = jnp.zeros((2, 48))
+    up = UnfusedParent(name="net").init(jax.random.PRNGKey(7),
+                                        x48)["params"]
+    sp = StandinParent(name="net").init(jax.random.PRNGKey(7),
+                                        x48)["params"]
     assert set(sp.keys()) == {"CootLayerNorm_0", "input_fc"}
-    np.testing.assert_array_equal(
-        np.asarray(sp["CootLayerNorm_0"]["gain"]),
-        np.asarray(params["CootLayerNorm_0"]["gain"]))
-    np.testing.assert_array_equal(
-        np.asarray(sp["CootLayerNorm_0"]["bias"]),
-        np.asarray(params["CootLayerNorm_0"]["bias"]))
-    assert sp["input_fc"]["fc_0"]["kernel"].shape == \
-        params["input_fc"]["fc_0"]["kernel"].shape
-    assert sp["input_fc"]["fc_0"]["bias"].shape == \
-        params["input_fc"]["fc_0"]["bias"].shape
+    for path in (("CootLayerNorm_0", "gain"), ("CootLayerNorm_0", "bias"),
+                 ("input_fc", "fc_0", "kernel"),
+                 ("input_fc", "fc_0", "bias")):
+        a, b = sp, up
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+
+    # and the real model's tree contains the same leaves/shapes
+    assert params["CootLayerNorm_0"]["gain"].shape == (48,)
+    assert params["input_fc"]["fc_0"]["kernel"].shape == \
+        sp["input_fc"]["fc_0"]["kernel"].shape
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
