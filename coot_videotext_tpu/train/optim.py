@@ -256,8 +256,13 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params: PyTree) -> EMAState:
+    # copy=True is load-bearing: astype(f32) on an already-f32 param is a
+    # no-op returning the SAME buffer, so the train state would hold each
+    # param buffer twice (params leaf + shadow leaf) — donating such a
+    # state (donate_argnums on the train step) then fails at runtime on
+    # TPU with INVALID_ARGUMENT (duplicate donated buffers).
     return EMAState(shadow=jax.tree.map(
-        lambda p: p.astype(jnp.float32), params))
+        lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params))
 
 
 def ema_update(state: EMAState, params: PyTree, decay: float,

@@ -172,3 +172,23 @@ def test_profiling_smoke() -> None:
     total, trainable = count_parameters({"w": np.zeros((3, 4)),
                                          "b": np.zeros(4)})
     assert total == trainable == 16
+
+
+def test_ema_init_does_not_alias_params():
+    """ema_init must COPY: astype(f32) on f32 params is a no-op alias, and
+    a train state holding the same buffer twice fails TPU buffer donation
+    at runtime (INVALID_ARGUMENT) — regression for the caption trainer."""
+    import jax
+    import jax.numpy as jnp
+    from coot_videotext_tpu.train.optim import ema_init
+
+    params = {"w": jnp.ones((4, 4), jnp.float32),
+              "b": jnp.zeros((4,), jnp.float32)}
+    ema = ema_init(params)
+    for k in params:
+        assert ema.shadow[k] is not params[k]
+        if hasattr(params[k], "unsafe_buffer_pointer"):
+            assert (ema.shadow[k].unsafe_buffer_pointer()
+                    != params[k].unsafe_buffer_pointer())
+        np.testing.assert_array_equal(np.asarray(ema.shadow[k]),
+                                      np.asarray(params[k]))
