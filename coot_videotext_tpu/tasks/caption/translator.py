@@ -187,7 +187,10 @@ class Translator:
                                    jnp.asarray(video_features),
                                    input_masks,
                                    jnp.asarray(token_type_ids))
-        return np.asarray(jax.device_get(ids))
+        # text region only (reference translator.py:352 returns
+        # input_ids[:, max_v_len:]) — returning the full joint sequence
+        # leaks '[VID] [SEP]' video tokens into every decoded caption
+        return np.asarray(jax.device_get(ids[:, cfg.max_v_len:]))
 
     # ---------- XL greedy ----------
 

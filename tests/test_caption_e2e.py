@@ -169,6 +169,14 @@ def test_caption_variants_train_and_translate(synth_caption, tmp_path,
         {e["name"] for e in (val_set.data if not cfg.recurrent
                              else [{"name": d["name"]}
                                    for d in val_set.data])})
+    # decoded captions must contain ONLY text tokens — a video-region
+    # token leaking in means the decode returned the joint sequence
+    # instead of ids[:, max_v_len:] (reference translator.py:352)
+    for sents in res["results"].values():
+        for s in sents:
+            for special in ("[VID]", "[CLS]", "[SEP]", "[BOS]", "[PAD]"):
+                assert special not in s["sentence"], (
+                    flags, s["sentence"])
     trainer.close()
 
 

@@ -138,3 +138,74 @@ def test_scan_fused_steps_match_sequential(setup):
     assert np.isfinite(np.asarray(metrics_scan["loss_total"])).all()
     assert np.isfinite(losses).all()
     assert int(st_scan.step) == int(st_seq.step) == k
+
+
+def test_caption_step_mesh_matches_unmeshed(tmp_path_factory):
+    """The meshed caption train step (stacked (S, N, ...) batch sharded
+    over `data`, donation enabled on non-CPU backends) must produce the
+    same loss/metrics and parameters as the plain unmeshed step — the
+    caption analog of the retrieval dp test, covering the SPMD path the
+    TPU trainer takes (incl. the EMA shadow inside the donated state)."""
+    from coot_videotext_tpu.data.caption_dataset import (
+        create_mart_datasets_and_loaders)
+    from coot_videotext_tpu.data.synthetic import generate_caption_dataset
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+    from coot_videotext_tpu.tasks.caption.steps import (
+        init_caption_train_state, make_caption_train_step,
+        stacked_batch_sharding)
+    from coot_videotext_tpu.train.optim import make_bertadam
+    from tests.helpers import caption_config_dict
+
+    root = tmp_path_factory.mktemp("capmesh")
+    overrides = generate_caption_dataset(
+        root, num_videos=8, num_val_videos=4, mean_sentences=2.0,
+        max_sentences=3, seed=1)
+    cfg = MartConfig(caption_config_dict({}, batch_size=8, num_epochs=1))
+    train_set, _, train_loader, _ = create_mart_datasets_and_loaders(
+        cfg, overrides["coot_feat_dir"], overrides["annotations_dir"],
+        "unused", seed=0)
+    model = create_mart_model(cfg, len(train_set.word2idx), verbose=False)
+    stacked, _, _ = next(iter(train_loader))
+    optimizer = make_bertadam(eps=cfg.eps)
+    state0 = init_caption_train_state(
+        model, optimizer, jax.random.PRNGKey(0), stacked,
+        ema_decay=cfg.ema_decay)
+    keys = ("input_ids", "input_labels", "input_mask", "token_type_ids",
+            "video_feature")
+    batch = {k: jnp.asarray(stacked[k]) for k in keys}
+    lr = jnp.float32(1e-4)
+    rng = jax.random.PRNGKey(1)
+
+    plain = make_caption_train_step(model, optimizer,
+                                    ema_decay=cfg.ema_decay,
+                                    clip_gradient=1.0, mesh=None)
+    s_plain, m_plain = plain(state0, batch, lr, rng)
+
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+    state1 = init_caption_train_state(
+        model, optimizer, jax.random.PRNGKey(0), stacked,
+        ema_decay=cfg.ema_decay)
+    sh = stacked_batch_sharding(mesh)
+    mb = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    state1 = jax.device_put(state1, replicated_sharding(mesh))
+    meshed = make_caption_train_step(model, optimizer,
+                                     ema_decay=cfg.ema_decay,
+                                     clip_gradient=1.0, mesh=mesh)
+    s_mesh, m_mesh = meshed(state1, mb, lr, rng)
+
+    for k in m_plain:
+        np.testing.assert_allclose(float(m_plain[k]), float(m_mesh[k]),
+                                   rtol=2e-5, atol=1e-4, err_msg=k)
+    pa = jax.tree_util.tree_leaves(s_plain.params)
+    pb = jax.tree_util.tree_leaves(s_mesh.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    ea = jax.tree_util.tree_leaves(s_plain.ema)
+    eb = jax.tree_util.tree_leaves(s_mesh.ema)
+    for a, b in zip(ea, eb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
