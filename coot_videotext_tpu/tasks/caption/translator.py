@@ -390,9 +390,20 @@ class Translator:
             ms = (None if prev_ms is None
                   else [rep(e) for e in prev_ms])
 
+            # cap max_length to the decodable text region: the token loop
+            # only runs max_t_len steps, so a larger configured
+            # max_sen_len (e.g. 30 vs max_t_len 22 in the shipped yamls)
+            # means ensure_max_length can never fire — beams that don't
+            # emit [EOS] naturally then never finish and produce EMPTY
+            # hypotheses (the reference crashes outright on
+            # `beam.predictions[b][0]`, translator.py:163-165; observed
+            # here as empty captions from a barely-trained model). The
+            # -2 leaves room for the [BOS]/[EOS] wrap when the forced
+            # hypothesis is written back into the joint sequence.
             beam = BeamSearch(
                 beam_size, batch_size, PAD, BOS, EOS, cfg.n_best,
-                cfg.min_sen_len, cfg.max_sen_len,
+                cfg.min_sen_len,
+                min(cfg.max_sen_len, cfg.max_t_len - 2),
                 cfg.block_ngram_repeat, exclusion_tokens=set(),
                 length_penalty_name=cfg.length_penalty_name,
                 length_penalty_alpha=cfg.length_penalty_alpha)

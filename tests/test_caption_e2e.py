@@ -200,8 +200,40 @@ def test_caption_beam_search(synth_caption, tmp_path):
     transl = trainer.exp.get_translation_files(0, "val")
     res = json.loads(transl.read_text(encoding="utf8"))
     assert len(res["results"]) == len(val_set)
-    # every entry decodes to a string
+    # every entry decodes to a NON-EMPTY caption: with max_length capped
+    # to the text region, beams force-finish instead of returning empty
+    # hypotheses even for an untrained model
     for entries in res["results"].values():
         for e in entries:
             assert isinstance(e["sentence"], str)
+            assert e["sentence"].strip() != ""
     trainer.close()
+
+
+def test_beam_force_finish_at_max_length():
+    """Beams that never emit [EOS] must still produce hypotheses once the
+    decodable region is exhausted (ensure_max_length). Regression: with
+    max_length > the number of advance() calls, predictions stayed empty
+    and every beam caption decoded to '' (the reference crashes on
+    beam.predictions[b][0] in this situation, translator.py:163-165)."""
+    from coot_videotext_tpu.tasks.caption.beam_search import BeamSearch
+
+    vocab, beam_size, bsz = 11, 2, 3
+    eos = 5
+    beam = BeamSearch(beam_size, bsz, 0, 4, eos, 1, min_length=5,
+                      max_length=8, block_ngram_repeat=0,
+                      exclusion_tokens=set())
+    rng = np.random.RandomState(0)
+    steps = 0
+    while not beam.done and steps < 30:
+        n_alive = beam.alive_seq.shape[0]
+        lp = rng.randn(n_alive, vocab).astype(np.float32)
+        lp[:, eos] = -50.0  # EOS never competitive
+        beam.advance(lp)
+        steps += 1
+        if beam.is_finished.any():
+            beam.update_finished()
+    assert beam.done and steps == 8  # forced at max_length
+    for b in range(bsz):
+        assert len(beam.predictions[b]) >= 1
+        assert len(beam.predictions[b][0]) == 8  # full-length hypothesis
