@@ -5,9 +5,18 @@ Workload mirrors the reference's YouCook2 "2d3d" headline config
 (config/retrieval/paper2020/yc2_2d3d_coot.yaml: batch 64, max_frames 80,
 vid_feat_dim 4096, text_feat_dim 1536, ~7.7 clips+sentences per video,
 attention dropout 0.01, frame noise 0.01, RAdam + contrastive +
-cycle-consistency losses) on synthetic features through the production
-path: HBM-resident feature store + device-side sampling + scan-fused
-multi-step dispatch.
+cycle-consistency losses) through the production fast path: HBM-resident
+feature store + device-side sampling + scan-fused multi-step dispatch
+(tasks/retrieval/steps.py make_retrieval_train_scan — the same program
+RetrievalTrainer dispatches when train.steps_per_dispatch > 1).
+
+The synthetic features are generated DIRECTLY ON DEVICE (jitted normal
+draws into the store arrays) and the per-datapoint metadata tables are
+built on host from the same clip/duration distribution the synthetic
+dataset generator uses — the bench ships only a few KB over the
+host->device link before the timed region. (Round 1 shipped a ~1 GB
+synthetic h5 through the tunnel and blew the driver budget; the gather/
+sample/model/optimizer path being timed is byte-identical.)
 
 Timing methodology: on this environment the TPU is reached through a
 tunnel where jax.block_until_ready does NOT synchronize; completion is
@@ -22,27 +31,110 @@ split for ~80 epochs => ~122 clips/s reference throughput per GPU.
 vs_baseline = ours / 122.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Stage timestamps go to stderr so any future timeout is diagnosable.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
-import tempfile
 import time
+from functools import partial
 from pathlib import Path
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_CLIPS_PER_SEC = 122.0
 
+_T0 = time.perf_counter()
+
+
+def stage(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def build_tables(num_videos: int, *, mean_clips: float, max_clips: int,
+                 fps: float, mean_duration_sec: float,
+                 tokens_per_sentence: int, seed: int):
+    """
+    Per-datapoint metadata in the RetrievalDeviceMeta.tables schema
+    (data/device_store.py), drawn from the same distribution as
+    data/synthetic.py generate_retrieval_dataset. Returns
+    (tables: dict of np arrays, total_frames, total_tokens, total_clips).
+    """
+    rng = np.random.RandomState(seed)
+    n_parts_max = max_clips
+    vid_off = np.zeros(num_videos, np.int32)
+    vid_nf = np.zeros(num_videos, np.int32)
+    seg_off = np.zeros((num_videos, n_parts_max), np.int32)
+    seg_nf = np.zeros((num_videos, n_parts_max), np.int32)
+    seg_valid = np.zeros((num_videos, n_parts_max), bool)
+    clip_num = np.zeros(num_videos, np.int32)
+    text_off = np.zeros(num_videos, np.int32)
+    sent_len = np.zeros((num_videos, n_parts_max), np.int32)
+    sent_off = np.zeros((num_videos, n_parts_max), np.int32)
+    sent_num = np.zeros(num_videos, np.int32)
+    par_len = np.zeros(num_videos, np.int32)
+
+    frame_ptr = 0
+    tok_ptr = 0
+    total_clips = 0
+    for i in range(num_videos):
+        n_clips = int(np.clip(rng.poisson(mean_clips - 1) + 1, 1,
+                              max_clips))
+        duration = max(20.0, rng.normal(mean_duration_sec,
+                                        mean_duration_sec / 4))
+        num_frames = int(duration * fps)
+        bounds = np.sort(rng.choice(
+            np.arange(1, num_frames - 1), size=max(n_clips - 1, 0),
+            replace=False)) if n_clips > 1 else np.array([], int)
+        starts = np.concatenate([[0], bounds]).astype(int)
+        stops = np.concatenate([bounds, [num_frames]]).astype(int)
+
+        vid_off[i] = frame_ptr
+        vid_nf[i] = num_frames
+        clip_num[i] = n_clips
+        text_off[i] = tok_ptr
+        sent_num[i] = n_clips
+        for j in range(n_clips):
+            seg_off[i, j] = frame_ptr + starts[j]
+            seg_nf[i, j] = stops[j] - starts[j]
+            seg_valid[i, j] = True
+            sent_len[i, j] = tokens_per_sentence
+            sent_off[i, j] = tok_ptr + j * tokens_per_sentence
+        par_len[i] = n_clips * tokens_per_sentence
+        frame_ptr += num_frames
+        tok_ptr += n_clips * tokens_per_sentence
+        total_clips += n_clips
+
+    tables = {
+        "vid_off": vid_off, "vid_nf": vid_nf,
+        "seg_off": seg_off, "seg_nf": seg_nf,
+        "seg_valid": seg_valid, "clip_num": clip_num,
+        "sent_len": sent_len, "sent_off": sent_off,
+        "sent_num": sent_num, "par_len": par_len,
+        "text_off": text_off,
+    }
+    return tables, frame_ptr, tok_ptr, total_clips
+
 
 def main() -> None:
+    # persistent compilation cache: the second bench invocation (e.g. the
+    # driver's) skips the scan-program compile entirely
+    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(cache_dir))
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from coot_videotext_tpu.data.retrieval_dataset import (
-        create_retrieval_datasets_and_loaders)
-    from coot_videotext_tpu.data.synthetic import generate_retrieval_dataset
+        COUNT_LADDER, LENGTH_LADDER, bucket_size)
     from coot_videotext_tpu.parallel.mesh import (
         get_mesh, replicated_sharding)
     from coot_videotext_tpu.tasks.retrieval.config import RetrievalConfig
@@ -55,17 +147,43 @@ def main() -> None:
 
     if jax.default_backend() == "tpu":
         jax.config.update("jax_default_prng_impl", "rbg")
+    stage(f"jax ready, backend={jax.default_backend()}")
 
-    tmp = tempfile.mkdtemp(prefix="coot_bench_")
-    overrides = generate_retrieval_dataset(
-        Path(tmp), num_videos=192, num_val_videos=8,
-        vid_feat_dim=4096, text_feat_dim=1536,
-        mean_clips=7.7, max_clips=16, fps=1.0,
+    # ---- workload metadata (host, a few KB) ----
+    num_videos = 192
+    bsz = 64
+    max_frames = 80
+    vid_dim, text_dim = 4096, 1536
+    tables_np, total_frames, total_tokens, total_clips = build_tables(
+        num_videos, mean_clips=7.7, max_clips=16, fps=1.0,
         mean_duration_sec=320.0, tokens_per_sentence=18, seed=0)
 
-    cfg_dict = retrieval_config_dict(overrides, batch_size=64,
+    shapes = {
+        "lv": bucket_size(
+            min(max_frames, int(tables_np["vid_nf"].max())), LENGTH_LADDER),
+        "lc": bucket_size(
+            min(max_frames, int(tables_np["seg_nf"].max())), LENGTH_LADDER),
+        "ls": bucket_size(18, LENGTH_LADDER),
+        "lp": bucket_size(int(tables_np["par_len"].max()), LENGTH_LADDER),
+        "n_parts": bucket_size(int(tables_np["clip_num"].max()),
+                               COUNT_LADDER),
+    }
+    n_parts = shapes["n_parts"]
+
+    def budget(counts):
+        top = sorted(counts, reverse=True)[:bsz]
+        need = sum(top) + bsz
+        return min(-(-need // 64) * 64, bsz * n_parts)
+
+    shapes["pack_clips"] = budget(tables_np["clip_num"].tolist())
+    shapes["pack_sents"] = budget(tables_np["sent_num"].tolist())
+    stage(f"tables built: {total_frames} frames / {total_tokens} tokens / "
+          f"{total_clips} clips, shapes={shapes}")
+
+    # ---- config (yc2_2d3d network dims, bf16) ----
+    overrides = {"vid_feat_dim": vid_dim, "text_feat_dim": text_dim}
+    cfg_dict = retrieval_config_dict(overrides, batch_size=bsz,
                                      num_epochs=1)
-    # yc2_2d3d network dims (d_local 384 / d_global 768, 8 heads) + bf16
     for net in ("net_video_local", "net_text_local"):
         cfg_dict[net].update({"output_dim": 384})
         cfg_dict[net]["input_fc_config"]["output_dim"] = 384
@@ -82,29 +200,42 @@ def main() -> None:
         cfg_dict[net]["crossatn_config"].update(
             {"hidden_dim": 384, "num_heads": 8, "pointwise_ff_dim": 384,
              "dropout": 0.01})
-    cfg_dict["dataset_train"]["max_frames"] = 80
-    cfg_dict["dataset_val"]["max_frames"] = 80
+    cfg_dict["dataset_train"]["max_frames"] = max_frames
+    cfg_dict["dataset_val"]["max_frames"] = max_frames
     cfg_dict["dataset_train"]["frames_noise"] = 0.01
     cfg_dict["fp16_train"] = True
     cfg_dict["optimizer"]["lr"] = 3.6e-4
     cfg = RetrievalConfig(cfg_dict)
 
-    train_set, _, train_loader, _ = create_retrieval_datasets_and_loaders(
-        cfg, tmp, seed=0, fixed_shapes=True, device_preload=True)
-    store = train_loader.device_store
-    meta = train_loader.device_meta
-    print(f"device store: {store.nbytes / 1e9:.2f} GB resident in HBM",
-          file=sys.stderr)
-
     mesh = get_mesh()
     n_chips = mesh.devices.size
+    rep = replicated_sharding(mesh)
+
+    # ---- feature stores generated ON DEVICE (no bulk host->device) ----
+    store_dtype = jnp.bfloat16
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def gen_store(key, n_rows, dim):
+        return jax.random.normal(key, (n_rows, dim), store_dtype)
+
+    kv, kt = jax.random.split(jax.random.PRNGKey(42))
+    vid_store = jax.device_put(
+        gen_store(kv, total_frames, vid_dim), rep)
+    text_store = jax.device_put(
+        gen_store(kt, total_tokens, text_dim), rep)
+    tables = {k: jax.device_put(v, rep) for k, v in tables_np.items()}
+    stage(f"stores generated on device: "
+          f"{(total_frames * vid_dim + total_tokens * text_dim) * 2 / 1e9:.2f}"
+          " GB HBM")
+
+    # ---- model + optimizer + scan step ----
     mgr = RetrievalModelManager(cfg)
     params = mgr.init_params(0)
     optimizer = make_optimizer(cfg.optimizer)
     state = TrainState(params, optimizer.init(params), jnp.int32(0))
-    state = jax.device_put(state, replicated_sharding(mesh))
+    state = jax.device_put(state, rep)
     lw = cfg.train.contrastive_loss_config.as_dict()
-    sampling = {"shapes": meta.shapes, "max_frames": meta.max_frames}
+    sampling = {"shapes": shapes, "max_frames": max_frames}
     scan_step = make_retrieval_train_scan(
         mgr.model_train, optimizer, loss_weights=lw,
         margin=cfg.train.contrastive_loss_config.margin,
@@ -113,20 +244,22 @@ def main() -> None:
         frames_noise=cfg.dataset_train.frames_noise,
         device_sampling=sampling)
     lr = jnp.float32(3.6e-4)
+    stage("model/step built, starting compile+warmup")
 
-    n_videos = len(train_set)
-    bsz = cfg.train.batch_size
-    steps_per_epoch = n_videos // bsz
-    group_size = 24  # steps per dispatch (8 epochs)
+    steps_per_epoch = num_videos // bsz
+    group_size = int(os.environ.get("BENCH_GROUP_SIZE", "8"))
+    n_groups = int(os.environ.get("BENCH_GROUPS", "4"))
 
     def group_ids(g):
+        # each group = group_size shuffled steps (epoch-style passes)
         rows = []
-        for e in range(group_size // steps_per_epoch):
-            order = np.arange(n_videos)
-            np.random.RandomState(g * 100 + e).shuffle(order)
-            rows.append(order[:steps_per_epoch * bsz].reshape(
+        grng = np.random.RandomState(1000 + g)
+        while len(rows) < group_size:
+            order = np.arange(num_videos)
+            grng.shuffle(order)
+            rows.extend(order[:steps_per_epoch * bsz].reshape(
                 steps_per_epoch, bsz))
-        return jnp.asarray(np.concatenate(rows), jnp.int32)
+        return jnp.asarray(np.stack(rows[:group_size]), jnp.int32)
 
     bv = jnp.ones((group_size, bsz), bool)
     rng = jax.random.PRNGKey(0)
@@ -139,37 +272,34 @@ def main() -> None:
     # warmup: compile + settle
     state, metrics = scan_step(state, group_ids(0), bv, lr,
                                jax.random.fold_in(rng, 0),
-                               store.vid_store, store.text_store,
-                               meta.tables)
+                               vid_store, text_store, tables)
     sync(state)
+    stage("warmup group done (compile finished)")
 
     # 1-group chain (captures dispatch+fetch constant)
     t0 = time.perf_counter()
     state, metrics = scan_step(state, group_ids(1), bv, lr,
                                jax.random.fold_in(rng, 1),
-                               store.vid_store, store.text_store,
-                               meta.tables)
+                               vid_store, text_store, tables)
     sync(state)
     t_one = time.perf_counter() - t0
+    stage(f"1-group chain: {t_one:.3f}s")
 
     # N-group chain
-    n_groups = 6
     t0 = time.perf_counter()
     for g in range(2, 2 + n_groups):
         state, metrics = scan_step(state, group_ids(g), bv, lr,
                                    jax.random.fold_in(rng, g),
-                                   store.vid_store, store.text_store,
-                                   meta.tables)
+                                   vid_store, text_store, tables)
     sync(state)
     t_many = time.perf_counter() - t0
+    stage(f"{n_groups}-group chain: {t_many:.3f}s")
 
     per_step = (t_many - t_one) / ((n_groups - 1) * group_size)
     loss = float(jax.device_get(metrics["loss_total"][-1]))
     assert np.isfinite(loss), f"non-finite loss {loss}"
 
-    clips_per_step = sum(
-        len(train_set.meta[k]["segments"]) for k in train_set.keys) \
-        / steps_per_epoch
+    clips_per_step = total_clips / steps_per_epoch
     clips_per_sec_chip = clips_per_step / per_step / n_chips
     result = {
         "metric": "train_clips_per_sec_per_chip",
@@ -178,6 +308,7 @@ def main() -> None:
         "vs_baseline": round(clips_per_sec_chip / REFERENCE_CLIPS_PER_SEC,
                              3),
     }
+    stage(f"per_step={per_step * 1e3:.2f}ms  loss={loss:.4f}")
     print(json.dumps(result))
 
 
