@@ -262,6 +262,7 @@ def main() -> None:
         return jnp.asarray(np.stack(rows[:group_size]), jnp.int32)
 
     bv = jnp.ones((group_size, bsz), bool)
+    sv = jnp.ones((group_size,), bool)
     rng = jax.random.PRNGKey(0)
 
     def sync(st):
@@ -270,7 +271,7 @@ def main() -> None:
             st.params)[0].astype(jnp.float32)))
 
     # warmup: compile + settle
-    state, metrics = scan_step(state, group_ids(0), bv, lr,
+    state, metrics = scan_step(state, group_ids(0), bv, sv, lr,
                                jax.random.fold_in(rng, 0),
                                vid_store, text_store, tables)
     sync(state)
@@ -278,7 +279,7 @@ def main() -> None:
 
     # 1-group chain (captures dispatch+fetch constant)
     t0 = time.perf_counter()
-    state, metrics = scan_step(state, group_ids(1), bv, lr,
+    state, metrics = scan_step(state, group_ids(1), bv, sv, lr,
                                jax.random.fold_in(rng, 1),
                                vid_store, text_store, tables)
     sync(state)
@@ -288,7 +289,7 @@ def main() -> None:
     # N-group chain
     t0 = time.perf_counter()
     for g in range(2, 2 + n_groups):
-        state, metrics = scan_step(state, group_ids(g), bv, lr,
+        state, metrics = scan_step(state, group_ids(g), bv, sv, lr,
                                    jax.random.fold_in(rng, g),
                                    vid_store, text_store, tables)
     sync(state)

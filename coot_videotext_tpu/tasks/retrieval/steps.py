@@ -229,25 +229,34 @@ def make_retrieval_train_scan(
     (K, B) validity array for the whole group — one dispatch per K steps
     instead of per step, eliminating per-step host round trips entirely.
 
-        scan_step(state, dp_idx (K,B), batch_valid (K,B), lr, rng,
-                  vid_store, text_store, tables)
+        scan_step(state, dp_idx (K,B), batch_valid (K,B), step_valid (K,),
+                  lr, rng, vid_store, text_store, tables)
             -> (state, metrics stacked over K)
+
+    `step_valid` marks padded tail steps (epochs whose length is not a
+    multiple of K): an invalid step computes nothing into the state — the
+    carried (params, opt_state, step) pass through unchanged — so one
+    compiled program serves every group size. Metrics carry a
+    `step_valid` channel so the host can skip the padded entries.
 
     The learning rate is constant within a group — identical semantics to
     per-step dispatch for the epoch-driven schedulers the retrieval task
-    uses (reduce-on-plateau; per-step warmup callers should keep K=1).
+    uses (reduce-on-plateau). The trainer auto-degrades to per-step
+    dispatch while a per-step warmup is active (train/schedule.py
+    lr_varies_per_step), so warmup is never flattened within a group.
     """
     assert device_sampling is not None
 
     def group_fn(state: TrainState, dp_idx: jnp.ndarray,
-                 batch_valid: jnp.ndarray, lr: jnp.ndarray,
-                 rng: jax.Array, vid_store, text_store, tables):
+                 batch_valid: jnp.ndarray, step_valid: jnp.ndarray,
+                 lr: jnp.ndarray, rng: jax.Array,
+                 vid_store, text_store, tables):
         from coot_videotext_tpu.data.device_store import (
             device_sample_batch, gather_dense_batch)
 
         def body(carry, xs):
             state = carry
-            ids, bv, key = xs
+            ids, bv, sv, key = xs
             k_sample, k_noise, k_drop, k_cc = jax.random.split(key, 4)
             batch = device_sample_batch(
                 tables, ids, device_sampling["shapes"],
@@ -279,12 +288,16 @@ def make_retrieval_train_scan(
                 parts = dict(parts, grad_norm=norm)
             new_params, new_opt = optimizer.update(
                 grads, state.opt_state, state.params, lr)
-            return TrainState(new_params, new_opt,
-                              state.step + 1), parts
+            new_state = TrainState(new_params, new_opt, state.step + 1)
+            # padded tail step: identity on the carried state
+            new_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(sv, a, b), new_state, state)
+            parts = dict(parts, step_valid=sv)
+            return new_state, parts
 
         keys = jax.random.split(rng, dp_idx.shape[0])
-        state, metrics = jax.lax.scan(body, state,
-                                      (dp_idx, batch_valid, keys))
+        state, metrics = jax.lax.scan(
+            body, state, (dp_idx, batch_valid, step_valid, keys))
         return state, metrics
 
     if mesh is None:
@@ -295,6 +308,7 @@ def make_retrieval_train_scan(
     state_sh = state_shardings if state_shardings is not None else rep
     return jax.jit(
         group_fn,
-        in_shardings=(state_sh, kdata, kdata, rep, rep, rep, rep, rep),
+        in_shardings=(state_sh, kdata, kdata, rep, rep, rep, rep, rep,
+                      rep),
         out_shardings=(state_sh, rep),
         donate_argnums=donate_argnums_for(mesh))

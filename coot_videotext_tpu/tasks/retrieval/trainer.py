@@ -32,7 +32,7 @@ from coot_videotext_tpu.tasks.retrieval.model_manager import (
     RetrievalModelManager, build_dummy_retrieval_batch)
 from coot_videotext_tpu.tasks.retrieval.steps import (
     TrainState, init_train_state, make_retrieval_eval_step,
-    make_retrieval_train_step)
+    make_retrieval_train_scan, make_retrieval_train_step)
 from coot_videotext_tpu.train.optim import make_optimizer
 from coot_videotext_tpu.train.schedule import make_lr_scheduler
 from coot_videotext_tpu.train.trainer_base import BaseTrainer
@@ -94,6 +94,7 @@ class RetrievalTrainer(BaseTrainer):
         self._loss_weights = cfg.train.contrastive_loss_config.as_dict()
         self._margin = cfg.train.contrastive_loss_config.margin
         self._train_steps: Dict[bool, Any] = {}
+        self._train_scans: Dict[int, Any] = {}
         self._eval_steps: Dict[bool, Any] = {}
         self._data_sharding = batch_sharding(self.mesh)
 
@@ -126,6 +127,19 @@ class RetrievalTrainer(BaseTrainer):
                 words_noise=self.cfg.dataset_train.words_noise,
                 device_sampling=sampling)
         return self._train_steps[key]
+
+    def _get_train_scan(self, sampling):
+        if "scan" not in self._train_scans:
+            self._train_scans["scan"] = make_retrieval_train_scan(
+                self.model_mgr.model_train, self.optimizer,
+                loss_weights=self._loss_weights, margin=self._margin,
+                loss_cycle_cons=self.cfg.train.loss_cycle_cons,
+                clip_gradient=self.cfg.train.clip_gradient,
+                mesh=self.mesh,
+                frames_noise=self.cfg.dataset_train.frames_noise,
+                words_noise=self.cfg.dataset_train.words_noise,
+                device_sampling=sampling)
+        return self._train_scans["scan"]
 
     def _get_eval_step(self, use_store, sampling):
         key = (use_store, sampling is not None)
@@ -161,7 +175,15 @@ class RetrievalTrainer(BaseTrainer):
     def train_model(self, train_loader, val_loader) -> None:
         self.hook_pre_train()
         use_store, sampling, store_args = self._loader_mode(train_loader)
-        train_step = self._get_train_step(use_store, sampling)
+        k_dispatch = getattr(self.cfg.train, "steps_per_dispatch", 1)
+        scan_capable = sampling is not None and k_dispatch > 1
+        if k_dispatch > 1 and sampling is None:
+            self.logger.warning(
+                "train.steps_per_dispatch > 1 needs the fully "
+                "device-resident pipeline (preload_device + "
+                "pad_fixed_shapes + sample_on_device); falling back to "
+                "per-step dispatch.")
+        scan_warned = False
         for _epoch in range(self.state.current_epoch,
                             self.cfg.train.num_epochs):
             if self.check_early_stop():
@@ -169,27 +191,25 @@ class RetrievalTrainer(BaseTrainer):
             train_loader.set_epoch(self.state.current_epoch)
             self.hook_pre_train_epoch()
 
-            for step, (batch, _meta) in enumerate(prefetch_to_device(
-                    train_loader, sharding=self._data_sharding)):
-                self.hook_pre_step_timer()
-                rng = jax.random.fold_in(self._root_rng,
-                                         self.state.total_step)
-                lr = self.lr_scheduler.current_lr
-                self.train_state, metrics = train_step(
-                    self.train_state, batch, jnp.float32(lr), rng,
-                    *store_args)
-                # the jitted step covers forward+backward+update; attribute
-                # it to the forward timer (backward meter stays 0)
-                metrics = jax.device_get(metrics)
-                self.hook_post_forward_step_timer()
-                loss = float(metrics["loss_total"])
-                self.metrics.update_meter(CMeters.TRAIN_LOSS_CONTRASTIVE,
-                                          float(metrics["loss_contrastive"]))
-                self.metrics.update_meter(CMeters.TRAIN_LOSS_CC,
-                                          float(metrics["loss_cc"]))
-                self.hook_post_step(
-                    step, loss, lr,
-                    grad_norm=metrics.get("grad_norm"))
+            # scan-fused group dispatch (one compiled program per K steps)
+            # unless a per-step warmup is active this epoch, whose
+            # step-varying LR a constant-LR group would flatten
+            use_scan = scan_capable and not (
+                self.lr_scheduler is not None
+                and self.lr_scheduler.lr_varies_per_step())
+            if scan_capable and not use_scan and not scan_warned:
+                self.logger.info(
+                    "Per-step warmup active: dispatching per-step until "
+                    "warmup ends, then scan-fused groups of "
+                    f"{k_dispatch}.")
+                scan_warned = True
+
+            if use_scan:
+                self._train_epoch_scan(train_loader, sampling, store_args,
+                                       k_dispatch)
+            else:
+                self._train_epoch_per_step(train_loader, use_store,
+                                           sampling, store_args)
 
             is_val = self.check_is_val_epoch()
             has_improved = False
@@ -198,6 +218,82 @@ class RetrievalTrainer(BaseTrainer):
                     val_loader)
             self.hook_post_train_and_val_epoch(is_val, has_improved)
         self.hook_post_train()
+
+    def _train_epoch_per_step(self, train_loader, use_store, sampling,
+                              store_args) -> None:
+        train_step = self._get_train_step(use_store, sampling)
+        for step, (batch, _meta) in enumerate(prefetch_to_device(
+                train_loader, sharding=self._data_sharding)):
+            self.hook_pre_step_timer()
+            rng = jax.random.fold_in(self._root_rng,
+                                     self.state.total_step)
+            lr = self.lr_scheduler.current_lr
+            self.train_state, metrics = train_step(
+                self.train_state, batch, jnp.float32(lr), rng,
+                *store_args)
+            # the jitted step covers forward+backward+update; attribute
+            # it to the forward timer (backward meter stays 0)
+            metrics = jax.device_get(metrics)
+            self.hook_post_forward_step_timer()
+            loss = float(metrics["loss_total"])
+            self.metrics.update_meter(CMeters.TRAIN_LOSS_CONTRASTIVE,
+                                      float(metrics["loss_contrastive"]))
+            self.metrics.update_meter(CMeters.TRAIN_LOSS_CC,
+                                      float(metrics["loss_cc"]))
+            self.hook_post_step(
+                step, loss, lr,
+                grad_norm=metrics.get("grad_norm"))
+
+    def _train_epoch_scan(self, train_loader, sampling, store_args,
+                          k_dispatch: int) -> None:
+        """
+        One epoch through the scan-fused program: the host ships (K, B)
+        datapoint ids per dispatch (tasks/retrieval/steps.py
+        make_retrieval_train_scan) and feeds the stacked per-step metrics
+        back into the same meters/hooks as per-step dispatch. Tail groups
+        are padded with step_valid=False identity steps, so one compiled
+        program serves every epoch length.
+        """
+        scan_step = self._get_train_scan(sampling)
+        bsz = self.cfg.train.batch_size
+        # id batches are a few hundred bytes each: collect the epoch
+        batches = list(train_loader)
+        for g0 in range(0, len(batches), k_dispatch):
+            group = batches[g0:g0 + k_dispatch]
+            kk = len(group)
+            ids = np.zeros((k_dispatch, bsz), np.int32)
+            bv = np.zeros((k_dispatch, bsz), bool)
+            sv = np.zeros(k_dispatch, bool)
+            for i, b in enumerate(group):
+                ids[i] = b["dp_idx"]
+                bv[i] = b["batch_valid"]
+                sv[i] = True
+            # keep one live sample on padded steps (finite masked math;
+            # the identity carry discards their result entirely)
+            bv[kk:, 0] = True
+
+            self.hook_pre_step_timer()
+            rng = jax.random.fold_in(self._root_rng,
+                                     self.state.total_step)
+            lr = self.lr_scheduler.current_lr
+            self.train_state, metrics = scan_step(
+                self.train_state, jnp.asarray(ids), jnp.asarray(bv),
+                jnp.asarray(sv), jnp.float32(lr), rng, *store_args)
+            metrics = jax.device_get(metrics)
+            self.hook_post_forward_step_timer()
+            # attribute the group wall-clock evenly across its steps so
+            # the time meters keep per-step semantics
+            self.timedelta_step_forward /= kk
+            for i in range(kk):
+                self.metrics.update_meter(
+                    CMeters.TRAIN_LOSS_CONTRASTIVE,
+                    float(metrics["loss_contrastive"][i]))
+                self.metrics.update_meter(CMeters.TRAIN_LOSS_CC,
+                                          float(metrics["loss_cc"][i]))
+                gn = metrics.get("grad_norm")
+                self.hook_post_step(
+                    g0 + i, float(metrics["loss_total"][i]), lr,
+                    grad_norm=None if gn is None else float(gn[i]))
 
     # ---------- validation ----------
 

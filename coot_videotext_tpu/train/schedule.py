@@ -99,6 +99,17 @@ class LRScheduler:
         self.old_lr = self.current_lr
         self.current_lr = self.get_lr_from_epoch(is_val, has_improved)
 
+    def lr_varies_per_step(self) -> bool:
+        """
+        True while the LR changes from step to step WITHIN the current
+        epoch — only during per-step warmup. Group-dispatch callers
+        (steps_per_dispatch > 1, tasks/retrieval/trainer.py) must fall
+        back to per-step dispatch while this holds, since the scan-fused
+        program applies one LR to the whole group.
+        """
+        return (self._is_warmup()
+                and self.cfg.warmup_type == SchedulerWarmupConst.STEP)
+
     # ---------- internals ----------
 
     def _is_warmup(self) -> bool:

@@ -103,13 +103,15 @@ def test_scan_fused_steps_match_sequential(setup):
         np.stack([np.arange(8), np.arange(8, 16), np.arange(8)]),
         jnp.int32)
     bv = jnp.ones((k, 8), bool)
+    sv = jnp.ones((k,), bool)
 
     scan_step = make_retrieval_train_scan(
         mgr.model_train, opt, loss_weights=lw,
         margin=cfg.train.contrastive_loss_config.margin,
         loss_cycle_cons=cfg.train.loss_cycle_cons, clip_gradient=-1,
         mesh=mesh, device_sampling=sampling)
-    st_scan, metrics_scan = scan_step(st0, ids, bv, jnp.float32(1e-3),
+    st_scan, metrics_scan = scan_step(st0, ids, bv, sv,
+                                      jnp.float32(1e-3),
                                       rng, store.vid_store,
                                       store.text_store, meta.tables)
 

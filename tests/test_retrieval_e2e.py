@@ -190,6 +190,68 @@ def test_device_sampling_full_pipeline(synth_data, tmp_path):
     trainer.close()
 
 
+def test_trainer_scan_fused_dispatch(synth_data, tmp_path):
+    """train.steps_per_dispatch > 1 routes training through the
+    scan-fused program (group dispatch incl. a padded tail group) with
+    the same meter/scheduler/checkpoint bookkeeping as per-step mode."""
+    root, overrides = synth_data
+    log_dir = str(tmp_path / "experiments")
+    cfg_dict = retrieval_config_dict(overrides, num_epochs=2)
+    cfg_dict["train"]["steps_per_dispatch"] = 2  # 3 steps/epoch -> 2+tail
+    cfg = RetrievalConfig(cfg_dict)
+    _, _, train_loader, val_loader = \
+        create_retrieval_datasets_and_loaders(
+            cfg, root, seed=0, fixed_shapes=True, device_preload=True)
+    assert train_loader.device_meta is not None
+
+    mgr = RetrievalModelManager(cfg)
+    trainer = RetrievalTrainer(cfg, mgr, "default", "scantrain", "run1",
+                               len(train_loader), log_dir=log_dir)
+    trainer.train_model(train_loader, val_loader)
+    assert trainer._train_scans, "scan program was never built"
+    assert not trainer._train_steps, "per-step program built needlessly"
+    assert trainer.state.current_epoch == 2
+    # every real step was booked exactly once (24 videos / batch 8)
+    assert trainer.state.total_step == 2 * len(train_loader)
+    assert int(trainer.train_state.step) == 2 * len(train_loader)
+    losses = [v for _, v in
+              trainer.metrics.storage_epoch["val_base/loss"]]
+    assert np.isfinite(losses).all()
+    train_losses = [v for _, v in
+                    trainer.metrics.storage_step["train_base/loss"]]
+    assert len(train_losses) == 2 * len(train_loader)
+    assert np.isfinite(train_losses).all()
+    trainer.close()
+
+
+def test_trainer_scan_degrades_during_step_warmup(synth_data, tmp_path):
+    """A per-step warmup epoch must NOT be scan-fused (a group applies one
+    LR to K steps); the trainer dispatches per-step until warmup ends."""
+    root, overrides = synth_data
+    log_dir = str(tmp_path / "experiments")
+    cfg_dict = retrieval_config_dict(overrides, num_epochs=2)
+    cfg_dict["train"]["steps_per_dispatch"] = 2
+    cfg_dict["lr_scheduler"].update(
+        {"warmup_type": "step", "warmup_epochs": 1})
+    cfg = RetrievalConfig(cfg_dict)
+    _, _, train_loader, val_loader = \
+        create_retrieval_datasets_and_loaders(
+            cfg, root, seed=0, fixed_shapes=True, device_preload=True)
+    mgr = RetrievalModelManager(cfg)
+    trainer = RetrievalTrainer(cfg, mgr, "default", "scanwarm", "run1",
+                               len(train_loader), log_dir=log_dir)
+    trainer.train_model(train_loader, val_loader)
+    # epoch 0 (warmup) used the per-step program, epoch 1 the scan
+    assert trainer._train_steps, "warmup epoch should dispatch per-step"
+    assert trainer._train_scans, "post-warmup epoch should scan-fuse"
+    assert trainer.state.total_step == 2 * len(train_loader)
+    # per-step warmup actually varied the LR within epoch 0
+    lrs = [v for _, v in trainer.metrics.storage_step["train_base/lr"]]
+    warmup_lrs = lrs[:len(train_loader)]
+    assert len(set(warmup_lrs)) > 1
+    trainer.close()
+
+
 def test_packed_parts_match_dense(synth_data):
     """The packed (P, L) part layout produces the same model outputs as
     the dense (B, N, L) layout on all valid positions."""

@@ -132,12 +132,13 @@ def variant_full(ctx, *, frames_noise=0.01, loss_cc=None, dropout=True,
     from coot_videotext_tpu.parallel.mesh import replicated_sharding
     lr = jnp.float32(3.6e-4)
     bv = jnp.ones((GROUP, 64), bool)
+    sv = jnp.ones((GROUP,), bool)
     rng = jax.random.PRNGKey(0)
     state_box = [jax.device_put(ctx["state_host"],
                                 replicated_sharding(ctx["mesh"]))]
 
     def run(g):
-        st, _ = scan_step(state_box[0], group_ids(ctx, g), bv, lr,
+        st, _ = scan_step(state_box[0], group_ids(ctx, g), bv, sv, lr,
                           jax.random.fold_in(rng, g),
                           ctx["store"].vid_store, ctx["store"].text_store,
                           ctx["meta"].tables)
