@@ -207,6 +207,11 @@ def _bert_ln(val_name: str) -> str:
 
 def _convert_mart_key(key: str, val: np.ndarray):
     """One torch MART param -> (flax path tuple, array) or None to skip."""
+    # the reference's no-memory layers construct a `memory_intermediate`
+    # submodule that their forward never calls (mart/model.py:340,602) —
+    # dead randomly-initialized params; the flax models don't carry them
+    if ".memory_intermediate." in key:
+        return None
     # --- embeddings ---
     m = re.fullmatch(r"embeddings\.word_embeddings\.weight", key)
     if m:

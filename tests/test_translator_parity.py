@@ -1,0 +1,195 @@
+"""
+Token-for-token decode parity against the reference's OWN torch
+Translator (mart/translator.py): build a seeded reference torch model,
+convert its weights into the flax model (utils/torch_convert.py — forward
+parity separately proven in test_torch_convert.py), run BOTH translators
+on the same batch, and require the emitted token ids to be IDENTICAL.
+
+This pins the whole greedy decode contract — video-only input blanking,
+BOS feeding, full-forward-per-token readout at dec_idx, UNK suppression,
+EOS re-masking, and the extra memory-building forward between sentence
+steps — so decode regressions (e.g. the round-1 single-sentence bug of
+returning the joint sequence) cannot silently reappear.
+"""
+
+import types
+from copy import deepcopy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from coot_videotext_tpu.utils.yaml_utils import load_yaml_config_file
+from coot_videotext_tpu.utils import torch_convert
+
+from tests.test_torch_convert import CAPTION_YAML, _import_reference
+
+
+@pytest.fixture(scope="module")
+def reference():
+    return _import_reference()
+
+
+class _RefCfg(types.SimpleNamespace):
+    """The reference models probe configs with `"key" in cfg`
+    (mart/model.py:1344); give the namespace membership semantics."""
+
+    def __contains__(self, item):
+        return hasattr(self, item)
+
+
+def _ref_cfg_namespace(cfg, vocab):
+    return _RefCfg(
+        hidden_size=cfg.hidden_size, vocab_size=vocab,
+        word_vec_size=cfg.word_vec_size,
+        video_feature_size=cfg.video_feature_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        type_vocab_size=cfg.type_vocab_size,
+        layer_norm_eps=cfg.layer_norm_eps,
+        hidden_dropout_prob=cfg.hidden_dropout_prob,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
+        intermediate_size=cfg.intermediate_size,
+        n_memory_cells=cfg.n_memory_cells,
+        memory_dropout_prob=cfg.memory_dropout_prob,
+        share_wd_cls_weight=cfg.share_wd_cls_weight,
+        label_smoothing=cfg.label_smoothing,
+        initializer_range=cfg.initializer_range,
+        max_v_len=cfg.max_v_len, max_t_len=cfg.max_t_len,
+        # Translator-level knobs (beam path)
+        beam_size=2, n_best=1, min_sen_len=5, max_sen_len=10,
+        block_ngram_repeat=0, length_penalty_name="none",
+        length_penalty_alpha=0.0, use_cuda=False)
+
+
+def _decode_inputs(cfg, vocab, s, n, seed=0):
+    """Joint-sequence batches shaped like the recurrent dataset output:
+    video prefix [CLS][VID]*[SEP] region + text region (blanked by the
+    translators before decoding)."""
+    rng = np.random.RandomState(seed)
+    length = cfg.max_v_len + cfg.max_t_len
+    ids = rng.randint(7, vocab, (s, n, length)).astype(np.int64)
+    vids = rng.randn(s, n, length,
+                     cfg.video_feature_size).astype(np.float32)
+    masks = np.ones((s, n, length), np.float32)
+    # some video padding for realism (mask convention 1=valid)
+    masks[:, 0, cfg.max_v_len - 1] = 0
+    tokty = np.concatenate(
+        [np.zeros((s, n, cfg.max_v_len)),
+         np.ones((s, n, cfg.max_t_len))], -1).astype(np.int64)
+    return ids, vids, masks, tokty
+
+
+def _build_recurrent_pair(reference, vocab=130, seed=0):
+    """(torch RecursiveTransformer, flax model, converted params, cfg)."""
+    import torch
+    _, mart_model = reference
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+
+    cfg = MartConfig(load_yaml_config_file(CAPTION_YAML))
+    model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
+    torch.manual_seed(seed)
+    ref = mart_model.RecursiveTransformer(
+        _ref_cfg_namespace(cfg, vocab)).eval()
+
+    flat = torch_convert.convert_mart_model_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    s, n = 1, 2
+    length = cfg.max_v_len + cfg.max_t_len
+    dummy = np.zeros((s, n, length), np.int64)
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(dummy),
+        jnp.zeros((s, n, length, cfg.video_feature_size), jnp.float32),
+        jnp.ones((s, n, length), jnp.float32),
+        jnp.asarray(dummy), jnp.asarray(dummy),
+        deterministic=True)["params"]
+    params = torch_convert.apply_converted(template, flat)
+    return ref, model, params, cfg
+
+
+def test_greedy_recurrent_token_parity(reference):
+    """Reference torch greedy recurrent decode == ours, token for token,
+    across sentence steps (memory carried between steps)."""
+    import torch
+    from mart import translator as ref_translator
+    from coot_videotext_tpu.tasks.caption.translator import Translator
+
+    ref, model, params, cfg = _build_recurrent_pair(reference)
+    vocab = 130
+    s, n = 3, 4
+    ids, vids, masks, tokty = _decode_inputs(cfg, vocab, s, n)
+
+    tr_ref = ref_translator.Translator(
+        ref, _ref_cfg_namespace(cfg, vocab))
+    with torch.no_grad():
+        ref_out = tr_ref.translate_batch_greedy(
+            [torch.from_numpy(ids[i].copy()) for i in range(s)],
+            [torch.from_numpy(vids[i]) for i in range(s)],
+            [torch.from_numpy(masks[i].copy()) for i in range(s)],
+            [torch.from_numpy(tokty[i]) for i in range(s)],
+            ref)
+    ref_out = [t.numpy() for t in ref_out]
+
+    tr = Translator(model, lambda: params, cfg)
+    our_out = tr.translate_batch_greedy(ids, vids, masks, tokty)
+
+    assert len(ref_out) == len(our_out) == s
+    for i in range(s):
+        np.testing.assert_array_equal(
+            np.asarray(our_out[i]), ref_out[i],
+            err_msg=f"greedy decode diverged at sentence step {i}")
+
+
+def test_greedy_single_sentence_token_parity(reference):
+    """Reference NonRecurTransformer single-sentence greedy == ours."""
+    import torch
+    _, mart_model = reference
+    from mart import translator as ref_translator
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+    from coot_videotext_tpu.tasks.caption.translator import Translator
+
+    vocab = 110
+    cfg_dict = load_yaml_config_file(CAPTION_YAML)
+    cfg_dict["recurrent"] = False
+    cfg = MartConfig(cfg_dict)
+    assert cfg.model_type == "single"
+    model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
+    torch.manual_seed(1)
+    ref = mart_model.NonRecurTransformer(
+        _ref_cfg_namespace(cfg, vocab)).eval()
+
+    flat = torch_convert.convert_mart_model_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    n = 4
+    length = cfg.max_v_len + cfg.max_t_len
+    dummy = np.zeros((n, length), np.int64)
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(dummy),
+        jnp.zeros((n, length, cfg.video_feature_size), jnp.float32),
+        jnp.ones((n, length), jnp.float32), jnp.asarray(dummy),
+        None, deterministic=True)["params"]
+    params = torch_convert.apply_converted(template, flat)
+
+    ids, vids, masks, tokty = _decode_inputs(cfg, vocab, 1, n, seed=2)
+    ids, vids, masks, tokty = ids[0], vids[0], masks[0], tokty[0]
+
+    tr_ref = ref_translator.Translator(
+        ref, _ref_cfg_namespace(cfg, vocab))
+    with torch.no_grad():
+        ref_out = tr_ref.translate_batch_single_sentence_greedy(
+            torch.from_numpy(ids.copy()), torch.from_numpy(vids),
+            torch.from_numpy(masks.copy()), torch.from_numpy(tokty),
+            ref).numpy()
+
+    tr = Translator(model, lambda: params, cfg)
+    our_out = tr.translate_batch_single_sentence_greedy(
+        ids, vids, masks, tokty)
+    # both return the text region (reference translator.py:352)
+    np.testing.assert_array_equal(np.asarray(our_out), ref_out)
