@@ -313,7 +313,8 @@ class Translator:
 
     # ---------- beam (recurrent) ----------
 
-    def _beam_token_fn(self, first_step: bool):
+    def _beam_token_fn(self, first_step: bool,
+                       reference_compat: bool = False):
         """(params, prev_ms, ids, feats, masks, ttypes, preds, dec_idx)
         -> (ids, masks, logprobs at dec_idx)."""
         cfg = self.cfg
@@ -331,10 +332,22 @@ class Translator:
             _, _, scores = model.apply(
                 {"params": params}, prev_ms, ids, feats, masks, ttypes,
                 deterministic=True, method=model.forward_step)
-            # suppress [UNK]; NOTE the reference beam path has
-            # `pred_scores[:, UNK]` (translator.py:135) which zeroes
-            # POSITION 6, a latent indexing bug — the correct token-axis
-            # suppression (as in its own greedy path :226) is used here.
+            if reference_compat:
+                # replicate the reference beam path bit for bit: its
+                # `pred_scores[:, UNK] = -1e10` (translator.py:133)
+                # zeroes POSITION UNK(=6) across the vocab axis — a
+                # latent indexing bug, so [UNK] is NOT suppressed (and
+                # with max_v_len <= 6 the dec_idx==6 readout is
+                # corrupted to uniform logprobs); it then takes
+                # log(softmax(.)) rather than log_softmax.
+                scores = scores.at[:, UNK, :].set(-1e10)
+                row = jnp.take_along_axis(
+                    scores, jnp.full((scores.shape[0], 1, 1), dec_idx),
+                    axis=1)[:, 0].astype(jnp.float32)
+                logprobs = jnp.log(jax.nn.softmax(row, axis=-1))
+                return ids, masks, logprobs
+            # suppress [UNK] on the TOKEN axis (the correct form, as in
+            # the reference's own greedy path :226) — see compat note.
             scores = scores.at[:, :, UNK].set(-1e10)
             row = jnp.take_along_axis(
                 scores, jnp.full((scores.shape[0], 1, 1), dec_idx),
@@ -350,14 +363,22 @@ class Translator:
         return jax.jit(fn)
 
     def translate_batch_beam(self, input_ids_list, video_features_list,
-                             input_masks_list, token_type_ids_list
+                             input_masks_list, token_type_ids_list,
+                             reference_compat: bool = False
                              ) -> List[np.ndarray]:
         """Recurrent beam search (reference :79-180). Device arrays stay
         at the static (N*beam) size; the beam's select indices gather rows
         each step (the reference shrinks tensors dynamically — host-side
         bookkeeping shrinks here too, device shapes do not). Unlike the
         reference (:146-160), rows are reordered EVERY step so each beam
-        row carries its own token history."""
+        row carries its own token history.
+
+        reference_compat=True reproduces the reference's beam decode
+        token for token instead (for parity testing): rows are reordered
+        ONLY on steps where some beam finished (:146), [UNK] is not
+        suppressed (the position-axis bug, :133), and max_sen_len is not
+        capped to the decodable region (:163-165 crash semantics kept out
+        — empty hypotheses still decode to empty captions here)."""
         from coot_videotext_tpu.tasks.caption.beam_search import BeamSearch
         cfg = self.cfg
         params = self.params_provider()
@@ -400,17 +421,20 @@ class Translator:
             # here as empty captions from a barely-trained model). The
             # -2 leaves room for the [BOS]/[EOS] wrap when the forced
             # hypothesis is written back into the joint sequence.
+            max_len = (cfg.max_sen_len if reference_compat
+                       else min(cfg.max_sen_len, cfg.max_t_len - 2))
             beam = BeamSearch(
                 beam_size, batch_size, PAD, BOS, EOS, cfg.n_best,
-                cfg.min_sen_len,
-                min(cfg.max_sen_len, cfg.max_t_len - 2),
+                cfg.min_sen_len, max_len,
                 cfg.block_ngram_repeat, exclusion_tokens=set(),
                 length_penalty_name=cfg.length_penalty_name,
                 length_penalty_alpha=cfg.length_penalty_alpha)
 
-            key = ("beam_tok", idx == 0, tuple(ids.shape))
+            key = ("beam_tok", idx == 0, reference_compat,
+                   tuple(ids.shape))
             if key not in self._jit_cache:
-                self._jit_cache[key] = self._beam_token_fn(idx == 0)
+                self._jit_cache[key] = self._beam_token_fn(
+                    idx == 0, reference_compat)
             token_fn = self._jit_cache[key]
 
             n_alive = total_rows
@@ -424,10 +448,16 @@ class Translator:
                 lp = np.asarray(jax.device_get(logprobs))[:n_alive]
                 beam.advance(lp)
                 if beam.is_finished.any():
-                    survivors = beam.update_finished()
+                    beam.update_finished()
                     if beam.done:
                         break
                     sel = beam.select_indices
+                elif reference_compat:
+                    # the reference reorders model rows ONLY on steps
+                    # where some beam finished (:146-160); on other steps
+                    # row histories drift out of sync with the beam's
+                    # internal permutation — reproduced for parity
+                    continue
                 else:
                     sel = beam.current_origin
                 perm = np.zeros(total_rows, np.int32)

@@ -26,6 +26,8 @@ from coot_videotext_tpu.utils import torch_convert
 
 from tests.test_torch_convert import CAPTION_YAML, _import_reference
 
+UNK_ID = 6  # [UNK] token id (reference recursive_caption_dataset)
+
 
 @pytest.fixture(scope="module")
 def reference():
@@ -83,7 +85,7 @@ def _decode_inputs(cfg, vocab, s, n, seed=0):
     return ids, vids, masks, tokty
 
 
-def _build_recurrent_pair(reference, vocab=130, seed=0):
+def _build_recurrent_pair(reference, vocab=130, seed=0, overrides=None):
     """(torch RecursiveTransformer, flax model, converted params, cfg)."""
     import torch
     _, mart_model = reference
@@ -91,7 +93,9 @@ def _build_recurrent_pair(reference, vocab=130, seed=0):
     from coot_videotext_tpu.tasks.caption.model_manager import (
         create_mart_model)
 
-    cfg = MartConfig(load_yaml_config_file(CAPTION_YAML))
+    cfg_dict = load_yaml_config_file(CAPTION_YAML)
+    cfg_dict.update(overrides or {})
+    cfg = MartConfig(cfg_dict)
     model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
     torch.manual_seed(seed)
     ref = mart_model.RecursiveTransformer(
@@ -193,3 +197,73 @@ def test_greedy_single_sentence_token_parity(reference):
         ids, vids, masks, tokty)
     # both return the text region (reference translator.py:352)
     np.testing.assert_array_equal(np.asarray(our_out), ref_out)
+
+
+def test_beam_recurrent_token_parity(reference, monkeypatch):
+    """Reference torch recurrent BEAM decode == ours in reference_compat
+    mode, token for token, across sentence steps.
+
+    Config choices keep the comparison deterministic while still covering
+    the reference's real control flow:
+    - max_v_len=8 puts sequence position 6 (= the UNK token id) inside
+      the video region, so the reference's position-axis clobber
+      `pred_scores[:, UNK] = -1e10` (translator.py:133) stays a no-op for
+      the readout — with the shipped max_v_len=3 it corrupts the
+      dec_idx==6 step into uniform logprobs, whose topk tie-breaking is
+      backend-dependent and untestable.
+    - max_sen_len=12 < max_t_len-2 forces every beam to finish inside
+      the token loop (ensure_max_length), so the reference never hits
+      its empty-`predictions[b][0]` crash (:163-165).
+    """
+    import torch
+    from mart import translator as ref_translator
+    from coot_videotext_tpu.tasks.caption.translator import Translator
+
+    # the reference targets torch<1.8 where integer `torch.div` floors;
+    # on modern torch its beam_search.py:352 `torch.div(ids, vocab,
+    # out=long_tensor)` raises. Restore the legacy semantics, scoped.
+    _orig_div = torch.div
+
+    def _legacy_div(a, b, *args, **kwargs):
+        out = kwargs.get("out")
+        if (out is not None and "rounding_mode" not in kwargs
+                and not torch.is_floating_point(out)):
+            kwargs["rounding_mode"] = "floor"
+        return _orig_div(a, b, *args, **kwargs)
+
+    monkeypatch.setattr(torch, "div", _legacy_div)
+
+    vocab = 130
+    ref, model, params, cfg = _build_recurrent_pair(
+        reference, vocab=vocab, seed=3,
+        overrides={"max_v_len": 8, "max_sen_len": 12})
+    assert cfg.max_v_len > UNK_ID  # see docstring
+    s, n = 2, 3
+    ids, vids, masks, tokty = _decode_inputs(cfg, vocab, s, n, seed=4)
+
+    tr_ref = ref_translator.Translator(
+        ref, _ref_cfg_namespace(cfg, vocab))
+    with torch.no_grad():
+        ref_out = tr_ref.translate_batch_beam(
+            [torch.from_numpy(ids[i].copy()) for i in range(s)],
+            [torch.from_numpy(vids[i]) for i in range(s)],
+            [torch.from_numpy(masks[i].copy()) for i in range(s)],
+            [torch.from_numpy(tokty[i]) for i in range(s)],
+            ref, beam_size=cfg.beam_size, n_best=cfg.n_best,
+            min_length=cfg.min_sen_len, max_length=cfg.max_sen_len,
+            block_ngram_repeat=cfg.block_ngram_repeat,
+            exclusion_idxs=set(),
+            length_penalty_name=cfg.length_penalty_name,
+            length_penalty_alpha=cfg.length_penalty_alpha,
+            use_cuda=False)
+    ref_out = [t.numpy() for t in ref_out]
+
+    tr = Translator(model, lambda: params, cfg)
+    our_out = tr.translate_batch_beam(ids, vids, masks, tokty,
+                                      reference_compat=True)
+
+    assert len(ref_out) == len(our_out) == s
+    for i in range(s):
+        np.testing.assert_array_equal(
+            np.asarray(our_out[i]), ref_out[i],
+            err_msg=f"beam decode diverged at sentence step {i}")
