@@ -235,3 +235,56 @@ def generate_caption_dataset(
         "coot_dim_clip": coot_dim_clip,
         "vocab_size": len(word2idx),
     }
+
+
+def generate_caption_video_features(
+        root: Union[str, Path], *,
+        dset_name: str = "youcook2",
+        dim_resnet: int = 12,
+        dim_bn: int = 8,
+        seed: int = 0) -> Dict[str, str]:
+    """
+    Add the RAW-VIDEO feature assets for the original-MART data path to a
+    dataset previously written by generate_caption_dataset: per-video
+    `{vid}_resnet.npy` + `{vid}_bn.npy` (rgb + flow, concatenated by the
+    loader — reference recursive_caption_dataset.py:278-283) under
+    root/video_features/<dset>/, and the frame<->second duration table
+    `captioning_video_feat_duration.csv` (reference :209-226, lines of
+    `name,duration_sec,num_frames`). Features are sampled at 2 frames/sec
+    so the youcook2 frame_to_second formula resolves to 0.5 s/frame, and
+    frames inside sentence j's timestamp share a per-sentence latent so
+    the clip structure is visible in the features.
+    """
+    rng = np.random.RandomState(seed + 17)
+    ann_dir = Path(root) / "annotations" / dset_name
+    feat_dir = Path(root) / "video_features" / dset_name
+    feat_dir.mkdir(parents=True, exist_ok=True)
+
+    proj_r = rng.randn(8, dim_resnet).astype(np.float32) / 3
+    proj_b = rng.randn(8, dim_bn).astype(np.float32) / 3
+
+    csv_lines = []
+    for ann_name in ("captioning_train.json", "captioning_val.json"):
+        data = json.loads((ann_dir / ann_name).read_text(encoding="utf8"))
+        for vid, meta in data.items():
+            duration = float(meta["duration"])
+            num_frames = int(round(duration * 2))  # 2 fps
+            csv_lines.append(f"{vid},{duration},{num_frames}")
+            # per-frame latent = latent of the sentence covering it
+            bounds = np.asarray([t[1] for t in meta["timestamps"]])
+            t_frame = (np.arange(num_frames) + 0.5) * 0.5
+            sen_idx = np.searchsorted(bounds, t_frame).clip(
+                0, len(bounds) - 1)
+            latents = rng.randn(len(bounds), 8).astype(np.float32)
+            frame_lat = latents[sen_idx]
+            noise = 0.05 * rng.randn(num_frames, 8).astype(np.float32)
+            np.save(feat_dir / f"{vid}_resnet.npy",
+                    (frame_lat + noise) @ proj_r)
+            np.save(feat_dir / f"{vid}_bn.npy",
+                    (frame_lat - noise) @ proj_b)
+    (ann_dir / "captioning_video_feat_duration.csv").write_text(
+        "\n".join(csv_lines), encoding="utf8")
+    return {
+        "video_feature_dir": str(Path(root) / "video_features"),
+        "video_feature_size": dim_resnet + dim_bn,
+    }

@@ -180,6 +180,53 @@ def test_caption_variants_train_and_translate(synth_caption, tmp_path,
     trainer.close()
 
 
+def test_caption_raw_video_features_train_translate(synth_caption,
+                                                    tmp_path):
+    """Original-MART data path: raw rgb+flow `.npy` video features with
+    the duration-CSV frame<->second table (yc2_mart.yaml-style config,
+    coot_model_name null, max_v_len covering sampled frames — reference
+    recursive_caption_dataset.py:209-226,278-295). Trains one epoch and
+    translates."""
+    from coot_videotext_tpu.data.synthetic import (
+        generate_caption_video_features)
+    root, overrides = synth_caption
+    vf = generate_caption_video_features(root, seed=0)
+    log_dir = str(tmp_path / "experiments")
+    cfg = MartConfig(caption_config_dict(
+        {"coot_model_name": None, "max_v_len": 8,
+         "video_feature_size": vf["video_feature_size"]},
+        batch_size=8, num_epochs=1))
+    train_set, val_set, train_loader, val_loader = \
+        create_mart_datasets_and_loaders(
+            cfg, "unused_coot_feat_dir", overrides["annotations_dir"],
+            vf["video_feature_dir"], seed=0)
+    from coot_videotext_tpu.data.caption_dataset import (
+        DataTypesConstCaption)
+    assert train_set.data_type == DataTypesConstCaption.VIDEO_FEAT
+    assert train_set.frame_to_second  # duration CSV parsed
+    # loader concatenates resnet+bn along the feature axis
+    feat = train_set._load_mart_video_feature(train_set.data[0]["name"])
+    assert feat.shape[1] == vf["video_feature_size"]
+
+    stacked, step_sizes, metas = next(iter(train_loader))
+    assert stacked["video_feature"].shape[-1] == vf["video_feature_size"]
+    # raw path fills up to max_v_len-2 frame rows (CLS/SEP wrap)
+    assert stacked["input_ids"].shape[-1] == cfg.max_v_len + cfg.max_t_len
+
+    model = create_mart_model(cfg, len(train_set.word2idx), verbose=False)
+    mgr = MartModelManager(cfg, model)
+    trainer = MartTrainer(cfg, mgr, "default", "rawvid", "run1",
+                          len(train_loader), log_dir=log_dir,
+                          annotations_dir=overrides["annotations_dir"])
+    trainer.train_model(train_loader, val_loader)
+    assert trainer.state.current_epoch == 1
+    transl = trainer.exp.get_translation_files(0, "val")
+    assert transl.is_file()
+    res = json.loads(transl.read_text(encoding="utf8"))
+    assert len(res["results"]) == len(val_set)
+    trainer.close()
+
+
 def test_caption_beam_search(synth_caption, tmp_path):
     """Beam search produces hypotheses for the recurrent model."""
     root, overrides = synth_caption
