@@ -32,6 +32,18 @@ vs_baseline = ours / 122.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 Stage timestamps go to stderr so any future timeout is diagnosable.
+
+A second mode (BENCH_MODE=caption, or `python bench.py caption`) benches
+the MART captioning train step at the yc2_100m_coot_vidclip_mart workload
+shape (batch 16, 12 sentence steps, hidden 768, 2 layers, 12 heads,
+vocab 992 = the reference's yc2 mart_word2idx.json) with the same
+chain-difference methodology, reporting words/s/chip. Its baseline is an
+ESTIMATE (the reference publishes no caption throughput at all): the
+reference torch MART measured on this host CPU (795 words/s, 1 core)
+scaled by the GPU/CPU ratio observed for the retrieval workload on the
+same host (122 clips/s GPU from README.md:158 wall-clock / 32.1 clips/s
+CPU measured = 3.8x) => ~3.0k words/s. The driver runs the default
+(retrieval) mode; caption numbers are recorded in PERFORMANCE.md.
 """
 
 from __future__ import annotations
@@ -46,6 +58,9 @@ from pathlib import Path
 import numpy as np
 
 REFERENCE_CLIPS_PER_SEC = 122.0
+# estimated reference GPU caption throughput (see module docstring):
+# 795 words/s torch-CPU x 3.8 retrieval GPU/CPU ratio on the same host
+REFERENCE_CAPTION_WORDS_PER_SEC = 3.0e3
 
 _T0 = time.perf_counter()
 
@@ -120,18 +135,145 @@ def build_tables(num_videos: int, *, mean_clips: float, max_clips: int,
     return tables, frame_ptr, tok_ptr, total_clips
 
 
-def main() -> None:
+def _setup_jax():
     # persistent compilation cache: the second bench invocation (e.g. the
-    # driver's) skips the scan-program compile entirely
+    # driver's) skips the program compile entirely
     cache_dir = Path(__file__).resolve().parent / ".jax_cache"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(cache_dir))
 
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "rbg")
+    return jax
+
+
+def main_caption() -> None:
+    """MART caption train-step throughput (words/s/chip)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from coot_videotext_tpu.parallel.mesh import (
+        get_mesh, replicated_sharding)
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+    from coot_videotext_tpu.tasks.caption.steps import (
+        init_caption_train_state, make_caption_train_step,
+        stacked_batch_sharding)
+    from coot_videotext_tpu.train.optim import make_bertadam
+    from coot_videotext_tpu.utils.yaml_utils import load_yaml_config_file
+
+    stage(f"jax ready, backend={jax.default_backend()}")
+    yaml_path = (Path(__file__).resolve().parent / "config" / "caption"
+                 / "paper2020" / "yc2_100m_coot_vidclip_mart.yaml")
+    cfg = MartConfig(load_yaml_config_file(yaml_path))
+    vocab = 992  # len(reference annotations/youcook2/mart_word2idx.json)
+    model = create_mart_model(cfg, vocab, verbose=False)
+
+    s, n = cfg.max_n_sen, cfg.train.batch_size
+    length = cfg.max_v_len + cfg.max_t_len
+    rng_np = np.random.RandomState(0)
+    # realistic yc2 step/sentence structure: ~7.7 sentences per video
+    # padded to max_n_sen with IGNORE dummy steps (reference
+    # recursive_caption_dataset.py collate), ~8.8 words per sentence
+    n_sen = np.clip(rng_np.poisson(6.7, n) + 1, 1, s)
+    sen_len = np.clip(rng_np.normal(8.8, 2.5, (s, n)).round().astype(int),
+                      4, cfg.max_t_len - 2)
+    ids = rng_np.randint(7, vocab, (s, n, length)).astype(np.int32)
+    labels = np.full((s, n, length), -1, np.int32)
+    mask = np.zeros((s, n, length), np.float32)
+    mask[:, :, :cfg.max_v_len] = 1.0
+    for i in range(s):
+        for j in range(n):
+            if i >= n_sen[j]:
+                mask[i, j, :] = 0.0  # IGNORE dummy step
+                continue
+            t = int(sen_len[i, j]) + 2  # [BOS] words [EOS]
+            mask[i, j, cfg.max_v_len:cfg.max_v_len + t] = 1.0
+            labels[i, j, cfg.max_v_len:cfg.max_v_len + t - 1] = \
+                ids[i, j, cfg.max_v_len + 1:cfg.max_v_len + t]
+    tokty = np.concatenate(
+        [np.zeros((s, n, cfg.max_v_len), np.int32),
+         np.ones((s, n, cfg.max_t_len), np.int32)], axis=-1)
+    words_per_step = int((labels != -1).sum())
+    stage(f"batch built: S={s} N={n} L={length} "
+          f"words/step={words_per_step}")
+
+    mesh = get_mesh()
+    n_chips = mesh.devices.size
+    rep = replicated_sharding(mesh)
+    sh = stacked_batch_sharding(mesh)
+
+    @jax.jit
+    def gen_feat(key):
+        return jax.random.normal(
+            key, (s, n, length, cfg.video_feature_size), jnp.float32)
+
+    batch = {
+        "input_ids": jax.device_put(jnp.asarray(ids), sh),
+        "input_labels": jax.device_put(jnp.asarray(labels), sh),
+        "input_mask": jax.device_put(jnp.asarray(mask), sh),
+        "token_type_ids": jax.device_put(jnp.asarray(tokty), sh),
+        "video_feature": jax.device_put(
+            gen_feat(jax.random.PRNGKey(7)), sh),
+    }
+
+    optimizer = make_bertadam(eps=cfg.eps)
+    state = init_caption_train_state(
+        model, optimizer, jax.random.PRNGKey(0), batch,
+        ema_decay=cfg.ema_decay)
+    state = jax.device_put(state, rep)
+    step = make_caption_train_step(
+        model, optimizer, ema_decay=cfg.ema_decay,
+        clip_gradient=float(cfg.train.clip_gradient), mesh=mesh)
+    lr = jnp.float32(cfg.lr)
+    rng = jax.random.PRNGKey(1)
+    stage("model/step built, starting compile+warmup")
+
+    def sync(st):
+        return float(jnp.mean(jax.tree_util.tree_leaves(
+            st.params)[0].astype(jnp.float32)))
+
+    state, metrics = step(state, batch, lr, jax.random.fold_in(rng, 0))
+    sync(state)
+    stage("warmup step done (compile finished)")
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, lr, jax.random.fold_in(rng, 1))
+    sync(state)
+    t_one = time.perf_counter() - t0
+    stage(f"1-step chain: {t_one:.3f}s")
+
+    n_steps = int(os.environ.get("BENCH_CAPTION_STEPS", "16"))
+    t0 = time.perf_counter()
+    for g in range(2, 2 + n_steps):
+        state, metrics = step(state, batch, lr, jax.random.fold_in(rng, g))
+    sync(state)
+    t_many = time.perf_counter() - t0
+    stage(f"{n_steps}-step chain: {t_many:.3f}s")
+
+    per_step = (t_many - t_one) / (n_steps - 1)
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+    words_per_sec_chip = words_per_step / per_step / n_chips
+    result = {
+        "metric": "caption_words_per_sec_per_chip",
+        "value": round(words_per_sec_chip, 2),
+        "unit": "words/s/chip",
+        "vs_baseline": round(
+            words_per_sec_chip / REFERENCE_CAPTION_WORDS_PER_SEC, 3),
+    }
+    stage(f"per_step={per_step * 1e3:.2f}ms  loss={loss:.4f}")
+    print(json.dumps(result))
+
+
+def main() -> None:
+    jax = _setup_jax()
+    import jax.numpy as jnp
 
     from coot_videotext_tpu.data.retrieval_dataset import (
         COUNT_LADDER, LENGTH_LADDER, bucket_size)
@@ -145,8 +287,6 @@ def main() -> None:
     from coot_videotext_tpu.train.optim import make_optimizer
     from tests.helpers import retrieval_config_dict
 
-    if jax.default_backend() == "tpu":
-        jax.config.update("jax_default_prng_impl", "rbg")
     stage(f"jax ready, backend={jax.default_backend()}")
 
     # ---- workload metadata (host, a few KB) ----
@@ -314,4 +454,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    _mode = os.environ.get("BENCH_MODE", "retrieval")
+    if len(sys.argv) > 1:
+        _mode = sys.argv[1]
+    if _mode == "caption":
+        main_caption()
+    else:
+        main()
