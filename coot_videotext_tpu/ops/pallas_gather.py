@@ -59,15 +59,18 @@ def _sublanes(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
 
-@functools.partial(jax.jit, static_argnames=("rows_per_block",))
+@functools.partial(jax.jit,
+                   static_argnames=("rows_per_block", "interpret"))
 def pallas_gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
-                       rows_per_block: int = 256) -> jnp.ndarray:
+                       rows_per_block: int = 256,
+                       interpret: bool = False) -> jnp.ndarray:
     """
     Args:
         table: (T, D) feature store (stays in HBM); D must be divisible
             by sublanes*128 (e.g. 4096 for both f32 and bf16) — single
             rows are DMA'd as tile-aligned (sublanes, D/sublanes) blocks
         idx: (N,) int32 row indices
+        interpret: run under the TPU interpret machine (CPU testing)
 
     Returns (N, D) gathered rows, table dtype.
     """
@@ -98,6 +101,7 @@ def pallas_gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
         cost_estimate=pl.CostEstimate(
             flops=0, transcendentals=0,
             bytes_accessed=2 * n * d * table.dtype.itemsize),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(idx.astype(jnp.int32), table3)
     return out.reshape(n, d)
 
