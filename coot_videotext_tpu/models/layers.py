@@ -61,16 +61,21 @@ class Dropout(nn.Module):
     def __call__(self, x: jnp.ndarray, *,
                  deterministic: Optional[bool] = None) -> jnp.ndarray:
         # match nn.Dropout: an unspecified deterministic is a loud error,
-        # not silently-disabled dropout
-        assert deterministic is not None, (
-            "Dropout requires an explicit deterministic argument")
+        # not silently-disabled dropout (raise, not assert: must survive -O)
+        if deterministic is None:
+            raise ValueError(
+                "Dropout requires an explicit deterministic argument")
         if deterministic or self.rate == 0.0:
             return x
         if self.rate >= 1.0:
             return jnp.zeros_like(x)  # nn.Dropout semantics at rate 1
         key = self.make_rng("dropout")
         bits = jax.random.bits(key, x.shape, jnp.uint16)
-        thresh = jnp.uint16(min(int(round(self.rate * 65536.0)), 65535))
+        # clamp to [1, 65535]: a sub-quantum rate (< 2^-16) must still
+        # drop with the closest representable probability, never silently
+        # disable while scaling by 1/(1-rate)
+        thresh = jnp.uint16(
+            min(max(int(round(self.rate * 65536.0)), 1), 65535))
         return jnp.where(bits >= thresh, x / (1.0 - self.rate),
                          jnp.zeros_like(x))
 
@@ -148,12 +153,18 @@ class CootLayerNorm(nn.Module):
         # multi-output reduction pass over x (the input norm runs over the
         # raw 4096-dim features — with the centered two-pass formulation
         # this layer was the single most expensive reduction in the train
-        # step). f32 accumulators over <=4096 elements keep the
-        # cancellation error below the 1e-5 parity tolerance.
-        s1 = jnp.sum(x32, axis=-1, keepdims=True)
-        s2 = jnp.sum(jnp.square(x32), axis=-1, keepdims=True)
-        mean = s1 / dim
-        var = jnp.maximum(s2 - mean * s1, 0.0) / max(dim - 1, 1)
+        # step). The per-row shift by the first element keeps the single
+        # pass (the subtract fuses into the reduction) while removing the
+        # catastrophic cancellation of s2 - mean*s1 for rows whose
+        # mean^2 >> var; stop_gradient on the shift leaves the exact
+        # analytic gradient (the shift cancels in both mean and var).
+        c = jax.lax.stop_gradient(x32[..., :1])
+        xc = x32 - c
+        s1 = jnp.sum(xc, axis=-1, keepdims=True)
+        s2 = jnp.sum(jnp.square(xc), axis=-1, keepdims=True)
+        mean_c = s1 / dim
+        var = jnp.maximum(s2 - mean_c * s1, 0.0) / max(dim - 1, 1)
+        mean = c + mean_c
         # double-where sqrt guard: d(sqrt)/d(var) is inf at var == 0, and
         # constant rows DO occur (zeroed padded clip/sentence slots feed the
         # global net's input norm) — the guarded branch keeps the forward

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -173,6 +174,11 @@ class CootTransformer(nn.Module):
                                   init_type=init_type, init_std=init_std,
                                   name="input_fc")()
             bsz, seq, _ = x.shape
+            # make the input_is_data promise explicit in the graph: the
+            # kernel's VJP returns a zero input cotangent, so declare the
+            # input non-differentiable here rather than rely on the
+            # kernel silently zeroing a future caller's gradient
+            x = jax.lax.stop_gradient(x)
             x = fused_input_fc(x.reshape(bsz * seq, din), gain, nbias,
                                w, b, 1e-6, fused_act)
             x = x.reshape(bsz, seq, fc.output_dim)

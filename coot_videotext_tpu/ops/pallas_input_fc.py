@@ -93,12 +93,18 @@ def _gelu_grad(x):
 
 
 def _norm_rows(x32, gain, bias, eps: float):
-    """CootLayerNorm over the last axis; returns (xhat, xn) in f32."""
+    """CootLayerNorm over the last axis; returns (xhat, xn) in f32.
+    Shifted single-pass stats (mirrors models/layers.py CootLayerNorm):
+    subtracting the per-row first element before accumulating removes the
+    s2 - mean*s1 cancellation for large-offset rows at no extra pass."""
     din = x32.shape[-1]
-    s1 = jnp.sum(x32, axis=-1, keepdims=True)
-    s2 = jnp.sum(x32 * x32, axis=-1, keepdims=True)
-    mean = s1 / din
-    var = jnp.maximum(s2 - mean * s1, 0.0) / max(din - 1, 1)
+    c = x32[..., :1]
+    xc = x32 - c
+    s1 = jnp.sum(xc, axis=-1, keepdims=True)
+    s2 = jnp.sum(xc * xc, axis=-1, keepdims=True)
+    mean_c = s1 / din
+    var = jnp.maximum(s2 - mean_c * s1, 0.0) / max(din - 1, 1)
+    mean = c + mean_c
     var_pos = var > 0.0
     std = jnp.where(var_pos, jnp.sqrt(jnp.where(var_pos, var, 1.0)), 0.0)
     xhat = (x32 - mean) / (std + eps)

@@ -26,6 +26,28 @@ def test_coot_layernorm_matches_torch_formula():
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
 
 
+def test_coot_layernorm_large_offset_accuracy():
+    """Rows with mean^2 >> var: the naive single-pass s2 - mean*s1
+    catastrophically cancels in f32 (offset 1e3, std 1e-2 -> relative
+    error ~ dim * 1e6 * eps_f32 / var >> 1); the shifted single-pass
+    stats must match a float64 two-pass reference."""
+    rng = np.random.RandomState(2)
+    base = rng.randn(4, 4096).astype(np.float64) * 1e-2
+    x = (base + 1e3).astype(np.float32)
+    ln = CootLayerNorm(eps=1e-6)
+    params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(ln.apply(params, jnp.asarray(x)))
+    x64 = x.astype(np.float64)
+    mean = x64.mean(-1, keepdims=True)
+    std = x64.std(-1, ddof=1, keepdims=True)
+    expected = (x64 - mean) / (std + 1e-6)
+    np.testing.assert_allclose(out, expected, atol=5e-3)
+    # and the gradient stays finite + sane
+    g = jax.grad(lambda x: jnp.sum(jnp.square(ln.apply(params, x))))(
+        jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_coot_layernorm_differs_from_standard():
     """It must NOT equal biased-variance layernorm (parity-relevant)."""
     rng = np.random.RandomState(1)
@@ -168,3 +190,22 @@ def test_dropout_module_distribution_and_grad():
 
     y_det = np.asarray(mod.apply({}, x, deterministic=True))
     assert np.array_equal(y_det, np.asarray(x))
+
+
+def test_dropout_module_edge_cases():
+    """Sub-quantum rates (< 2^-16) still drop at the smallest
+    representable probability instead of silently disabling, and an
+    unspecified deterministic raises (even under python -O)."""
+    from coot_videotext_tpu.models.layers import Dropout
+
+    x = jnp.ones((512, 512), jnp.float32)
+    tiny = 1e-7  # round(rate * 65536) == 0 -> clamped to 1
+    y = np.asarray(Dropout(rate=tiny).apply(
+        {}, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(0)}))
+    drop_frac = float((y == 0).mean())
+    # clamped threshold of 1/65536 ~ 1.5e-5: expect ~4 drops in 262k
+    assert 0 < drop_frac < 1e-4
+
+    with pytest.raises(ValueError, match="deterministic"):
+        Dropout(rate=0.1).apply({}, x)
