@@ -25,7 +25,9 @@ def load_glove_matrix(cache_dir: str, dataset_name: str) -> np.ndarray:
     """Load `<dset>_vocab_glove.pt` (a torch-saved float array)."""
     import torch
     path = Path(cache_dir) / f"{dataset_name}_vocab_glove.pt"
-    arr = torch.load(str(path), map_location="cpu")
+    # weights_only=False: the reference's released cache is a legacy
+    # pickled array (in-repo, trusted), rejected by torch>=2.6 defaults
+    arr = torch.load(str(path), map_location="cpu", weights_only=False)
     if hasattr(arr, "numpy"):
         arr = arr.numpy()
     return np.asarray(arr, np.float32)
