@@ -36,8 +36,18 @@ def load_glove_matrix(cache_dir: str, dataset_name: str) -> np.ndarray:
 def create_mart_model(cfg, vocab_size: int, *,
                       cache_dir: str = "cache_caption",
                       dataset_name: Optional[str] = None,
-                      compute_dtype=jnp.float32, verbose: bool = True):
-    """Build the flax caption model for this config (reference :45)."""
+                      compute_dtype=None, verbose: bool = True):
+    """Build the flax caption model for this config (reference :45).
+
+    compute_dtype=None resolves from cfg.compute_dtype (fp16_train: true
+    => bfloat16 — safe on TPU, unlike the reference's fp16 MART which
+    NaNs in torch backward; all loss/softmax/layernorm internals stay
+    f32 regardless)."""
+    if compute_dtype is None:
+        name = getattr(cfg, "compute_dtype", "float32")
+        compute_dtype = {"float32": jnp.float32,
+                         "bfloat16": jnp.bfloat16,
+                         "float16": jnp.bfloat16}[name]
     cfg.max_position_embeddings = cfg.max_v_len + cfg.max_t_len
     cfg.vocab_size = vocab_size
     if cfg.recurrent:

@@ -112,6 +112,58 @@ def test_caption_train_translate_checkpoint(synth_caption, tmp_path):
     trainer2.close()
 
 
+def test_caption_bf16_compute():
+    """fp16_train: true must resolve to bfloat16 compute (the reference
+    disables fp16 MART because torch backward NaNs; on TPU bf16 is safe
+    with f32 softmax/loss internals). One bf16 train step stays finite
+    and tracks the f32 loss from identical init."""
+    import jax
+    import jax.numpy as jnp
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        build_dummy_caption_batch)
+    from coot_videotext_tpu.tasks.caption.steps import (
+        init_caption_train_state, make_caption_train_step)
+    from coot_videotext_tpu.train.optim import make_bertadam
+
+    from copy import deepcopy
+
+    cfg32 = MartConfig(deepcopy(
+        caption_config_dict({}, batch_size=4, num_epochs=1)))
+    cfg16 = MartConfig(caption_config_dict(
+        {"fp16_train": True, "fp16_val": True}, batch_size=4,
+        num_epochs=1))
+    vocab = 32
+    m32 = create_mart_model(cfg32, vocab, verbose=False)
+    m16 = create_mart_model(cfg16, vocab, verbose=False)
+    assert m32.dtype == jnp.float32
+    assert m16.dtype == jnp.bfloat16
+
+    batch = build_dummy_caption_batch(cfg32, vocab, batch_size=4,
+                                      step_size=2)
+    rng = np.random.RandomState(0)
+    labels = batch["input_labels"].copy()
+    labels[:, :, cfg32.max_v_len:] = rng.randint(
+        7, vocab, labels[:, :, cfg32.max_v_len:].shape)
+    batch["input_labels"] = labels
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    opt = make_bertadam(eps=cfg32.eps)
+    losses = {}
+    for name, model in (("f32", m32), ("bf16", m16)):
+        state = init_caption_train_state(
+            model, opt, jax.random.PRNGKey(0), batch,
+            ema_decay=cfg32.ema_decay)
+        step = make_caption_train_step(
+            model, opt, ema_decay=cfg32.ema_decay, clip_gradient=1.0)
+        state, metrics = step(state, batch, jnp.float32(1e-4),
+                              jax.random.PRNGKey(1))
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name])
+        assert all(np.isfinite(np.asarray(p)).all()
+                   for p in jax.tree_util.tree_leaves(state.params))
+    np.testing.assert_allclose(losses["bf16"], losses["f32"], rtol=2e-2)
+
+
 def test_caption_metrics_native():
     """Sanity of the native BLEU/ROUGE/CIDEr on a perfect prediction."""
     from coot_videotext_tpu.tasks.caption.metrics.bleu import Bleu
