@@ -32,17 +32,30 @@ def generate_retrieval_dataset(
         fps: float = 2.0,
         mean_duration_sec: float = 120.0,
         tokens_per_sentence: int = 12,
-        seed: int = 0) -> Dict[str, str]:
+        seed: int = 0,
+        shared_projections: bool = True) -> Dict[str, str]:
     """
     Create a complete synthetic retrieval dataset under root/<dataset_name>/.
     Paired video clips and sentences share a latent vector so retrieval
     metrics are learnable (loss decreases, R@1 >> chance after training).
+
+    shared_projections: draw the latent->feature projections ONCE for the
+    whole dataset (default). This makes the cross-modal correspondence a
+    single global linear map the model can generalize to held-out videos
+    — required for any quality comparison on val retrieval metrics. With
+    False (the pre-round-2 behavior) each video gets its own random
+    projections: features still carry per-clip latent structure, but
+    cross-modal val retrieval is information-theoretically stuck at
+    chance, which silently hides quality regressions.
 
     Returns a dict of config overrides for RetrievalDatasetConfig.
     """
     rng = np.random.RandomState(seed)
     path = Path(root) / dataset_name
     path.mkdir(parents=True, exist_ok=True)
+
+    shared_proj_v = rng.randn(16, vid_feat_dim).astype(np.float32) / 4
+    shared_proj_t = rng.randn(16, text_feat_dim).astype(np.float32) / 4
 
     total = num_videos + num_val_videos
     meta = {}
@@ -60,8 +73,11 @@ def generate_retrieval_dataset(
 
         # shared latent per clip drives both modalities
         latents = rng.randn(n_clips, 16).astype(np.float32)
-        proj_v = rng.randn(16, vid_feat_dim).astype(np.float32) / 4
-        proj_t = rng.randn(16, text_feat_dim).astype(np.float32) / 4
+        if shared_projections:
+            proj_v, proj_t = shared_proj_v, shared_proj_t
+        else:
+            proj_v = rng.randn(16, vid_feat_dim).astype(np.float32) / 4
+            proj_t = rng.randn(16, text_feat_dim).astype(np.float32) / 4
 
         vid_feat = rng.randn(num_frames, vid_feat_dim).astype(np.float32)
         bounds = np.sort(rng.choice(

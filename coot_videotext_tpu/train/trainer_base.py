@@ -76,6 +76,20 @@ class BaseTrainer:
             prng_impl = "rbg"
         if prng_impl:
             jax.config.update("jax_default_prng_impl", prng_impl)
+        # persistent compilation cache (shared with bench.py/tests):
+        # restarts and repeated runs of the same experiment skip every
+        # unchanged train/eval-program compile
+        _cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            str(Path(__file__).resolve().parents[2] / ".jax_cache"))
+        try:
+            jax.config.update("jax_compilation_cache_dir", _cache)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
         self.logger.info(
             f"Mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}"
             f" on {self.mesh.devices.size} x "
