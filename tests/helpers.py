@@ -164,8 +164,11 @@ def caption_config_dict(overrides, *, batch_size: int = 4,
             "split": "val", "max_datapoints": -1, "shuffle": False,
             "pin_memory": True, "num_workers": 0, "drop_last": False,
             "preload": False},
-        "max_n_sen": 5, "max_n_sen_add_val": 2,
-        "max_t_len": 12, "max_v_len": 3,
+        # small sentence-step budget: tracing the recursive model unrolls
+        # (max_n_sen [+ add_val] x layers) python loops — the dominant
+        # test-suite cost scales with it
+        "max_n_sen": 3, "max_n_sen_add_val": 1,
+        "max_t_len": 10, "max_v_len": 3,
         "type_vocab_size": 2, "word_vec_size": 32,
         "coot_model_name": "synthcoot",
         "coot_dim_clip": 32, "coot_dim_vid": 64,

@@ -26,7 +26,7 @@ def synth_caption(tmp_path_factory):
     root = tmp_path_factory.mktemp("capdata")
     overrides = generate_caption_dataset(
         root, num_videos=12, num_val_videos=6, coot_dim_vid=64,
-        coot_dim_clip=32, mean_sentences=2.5, max_sentences=4, seed=0)
+        coot_dim_clip=32, mean_sentences=2.0, max_sentences=3, seed=0)
     return root, overrides
 
 

@@ -9,11 +9,31 @@ import pytest
 
 @pytest.fixture(scope="module")
 def s3d_setup():
+    # real model.init of the 60+-conv backbone costs >80s on CPU (eager
+    # threefry sampling / init-graph compile); the tests only need the
+    # parameter TREE, so trace shapes with eval_shape (no compute) and
+    # fill positive numpy values (positive keeps batchnorm var valid)
     from coot_videotext_tpu.models.s3d import S3D
     model = S3D(num_classes=512)
-    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 64, 64, 3),
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 32, 32, 3),
                     jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, x), jax.random.PRNGKey(0))["params"]
+    rng = np.random.RandomState(0)
+
+    def fill(path, s):
+        name = path[-1].key
+        if name == "kernel":  # small centered conv/fc weights
+            v = 0.05 * rng.standard_normal(s.shape)
+        elif name == "var":
+            v = np.full(s.shape, 1.0)
+        elif name in ("scale", "weight"):
+            v = np.ones(s.shape)
+        else:  # bias / mean
+            v = np.zeros(s.shape)
+        return jnp.asarray(v.astype(np.float32))
+
+    params = jax.tree_util.tree_map_with_path(fill, shapes)
     return model, params, x
 
 def test_s3d_forward_shapes(s3d_setup):
