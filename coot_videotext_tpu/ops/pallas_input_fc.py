@@ -111,16 +111,21 @@ def _norm_rows(x32, gain, bias, eps: float):
     return xhat, gain * xhat + bias
 
 
-_VMEM_BUDGET = 14 * 1024 * 1024
+# scoped-vmem is 16M; the footprint models below include double
+# buffering honestly, so only a small safety margin is needed (14M cost
+# ~4% bench throughput by halving the bwd block rows at bf16/din=4096)
+_VMEM_BUDGET = 15 * 1024 * 1024
 
 
 def _bwd_footprint(din: int, dout: int, itemsize: int):
     """(fixed bytes, bytes per block row) of the backward kernel: the
-    weight tile is cast to the compute dtype, the dW accumulator is f32;
-    per row it holds x, the f32 upcast + xhat, the compute-dtype xn copy,
-    the f32 dxn, and the (dout)-wide dy/pre/dpre temps."""
+    weight tile cast to the compute dtype + the resident f32 dW output
+    block (which doubles as the accumulator); per row the double-buffered
+    x block, the f32 upcast/xhat/dxn temps, the compute-dtype xn copy,
+    and the (dout)-wide double-buffered pre/dy blocks + dpre temps."""
     fixed = itemsize * din * dout + 4 * din * dout
-    per_row = (itemsize + 4 + 4 + itemsize + 4) * din + 24 * dout
+    per_row = ((2 * itemsize + 4 + 4 + itemsize + 4) * din
+               + (8 + 2 * itemsize + 4 + itemsize) * dout)
     return fixed, per_row
 
 
@@ -161,16 +166,20 @@ def _fwd_kernel(x_ref, gain_ref, bias_ref, w_ref, b_ref, y_ref,
 
 def _bwd_kernel(x_ref, gain_ref, bias_ref, w_ref, pre_ref, dy_ref,
                 dw_ref, db_ref, dgain_ref, dbias_ref,
-                acc_dw, acc_db, acc_dgain, acc_dbias,
                 *, eps: float, act: str):
+    # the grad outputs use constant index_maps, so their VMEM blocks stay
+    # resident across the sequential grid and serve as the accumulators
+    # directly — a separate f32 dW scratch doubled the largest allocation
+    # and blew the 16M scoped-vmem limit at bf16/din=4096 (the AB-run
+    # OOM); accumulate in-place instead
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        acc_dw[...] = jnp.zeros_like(acc_dw)
-        acc_db[...] = jnp.zeros_like(acc_db)
-        acc_dgain[...] = jnp.zeros_like(acc_dgain)
-        acc_dbias[...] = jnp.zeros_like(acc_dbias)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dgain_ref[...] = jnp.zeros_like(dgain_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
     x32 = x_ref[...].astype(jnp.float32)
     xhat, xn = _norm_rows(x32, gain_ref[...], bias_ref[...], eps)
@@ -182,23 +191,16 @@ def _bwd_kernel(x_ref, gain_ref, bias_ref, w_ref, pre_ref, dy_ref,
     dpre_c = dpre.astype(w_ref.dtype)
     xn_c = xn.astype(w_ref.dtype)
     # dW += xn^T dpre ; db += sum(dpre)
-    acc_dw[...] += jax.lax.dot_general(
+    dw_ref[...] += jax.lax.dot_general(
         xn_c, dpre_c, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    acc_db[...] += jnp.sum(dpre, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dpre, axis=0, keepdims=True)
     # dxn = dpre W^T ; dgain += sum(dxn * xhat) ; dbias += sum(dxn)
     dxn = jax.lax.dot_general(
         dpre_c, w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    acc_dgain[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
-    acc_dbias[...] += jnp.sum(dxn, axis=0, keepdims=True)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _flush():
-        dw_ref[...] = acc_dw[...]
-        db_ref[...] = acc_db[...]
-        dgain_ref[...] = acc_dgain[...]
-        dbias_ref[...] = acc_dbias[...]
+    dgain_ref[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dbias_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -302,11 +304,6 @@ def _vjp_bwd(eps, act, res, dy):
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, din), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[
-            pltpu.VMEM((din, dout), jnp.float32),
-            pltpu.VMEM((1, dout), jnp.float32),
-            pltpu.VMEM((1, din), jnp.float32),
-            pltpu.VMEM((1, din), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * s * din * dout + 10 * s * din,
             transcendentals=s * dout,

@@ -155,3 +155,26 @@ def test_fused_kernel_matches_reference_tpu():
                                              "gelu"), np.float32)
     scale = max(np.abs(yr).max(), 1e-6)
     assert np.abs(yk - yr).max() / scale < 5e-3  # one bf16 ulp
+
+    # backward, incl. the bf16 din=4096 shape whose bwd kernel once blew
+    # the 16M scoped-vmem limit (regression: accumulate into out refs)
+    for dtype, s, din, dout in ((jnp.float32, 512, 1536, 384),
+                                (jnp.bfloat16, 5120, 4096, 384)):
+        x2 = jnp.asarray(rng.randn(s, din), dtype)
+        gain2 = jnp.asarray(1 + 0.1 * rng.randn(din), jnp.float32)
+        bias2 = jnp.asarray(0.1 * rng.randn(din), jnp.float32)
+        w2 = jnp.asarray(0.05 * rng.randn(din, dout), jnp.float32)
+        b2 = jnp.asarray(0.1 * rng.randn(dout), jnp.float32)
+
+        def loss_of(fn):
+            return lambda g, bi, ww, bb: jnp.sum(jnp.square(
+                fn(x2, g, bi, ww, bb, 1e-6, "gelu").astype(jnp.float32)))
+
+        gk = jax.jit(jax.grad(loss_of(fused_input_fc),
+                              argnums=(0, 1, 2, 3)))(gain2, bias2, w2, b2)
+        gr = jax.jit(jax.grad(loss_of(fused_input_fc_reference),
+                              argnums=(0, 1, 2, 3)))(gain2, bias2, w2, b2)
+        for name, a, b_ in zip(("dgain", "dbias", "dw", "db"), gk, gr):
+            sc = max(float(jnp.abs(b_).max()), 1e-6)
+            err = float(jnp.abs(a - b_).max()) / sc
+            assert err < 5e-3, (dtype, name, err)

@@ -128,6 +128,13 @@ def test_mart_golden_parity(reference):
 
     vocab = 130
     cfg = MartConfig(load_yaml_config_file(CAPTION_YAML))
+    # shrink dims: converter/key-layout parity is size-independent, and
+    # the full hidden-768 model costs ~35s of CPU trace+forward
+    cfg.hidden_size = 96
+    cfg.intermediate_size = 96
+    cfg.num_attention_heads = 4
+    cfg.word_vec_size = 48
+    cfg.video_feature_size = 64
     model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
 
     ref_cfg = types.SimpleNamespace(

@@ -49,12 +49,10 @@ def main() -> None:
     args = ap.parse_args()
 
     repo = Path(__file__).resolve().parent.parent
-    ref_runs = {n: load_run(p)
-                for n, p in find_runs(repo / args.ref).items()
-                if "probe" not in n}
-    tpu_runs = {n: load_run(p)
-                for n, p in find_runs(repo / args.tpu).items()
-                if "probe" not in n}
+    ref_runs = {n: r for n, p in find_runs(repo / args.ref).items()
+                if "probe" not in n and (r := load_run(p))}
+    tpu_runs = {n: r for n, p in find_runs(repo / args.tpu).items()
+                if "probe" not in n and (r := load_run(p))}
 
     names = [n for _, n, _ in FIELDS]
     for side, runs in (("reference(torch)", ref_runs), ("tpu", tpu_runs)):
