@@ -271,6 +271,90 @@ def main_caption() -> None:
     print(json.dumps(result))
 
 
+def main_decode() -> None:
+    """MART greedy decode throughput (free-running translation — the
+    reference's validation hot loop, translator.py:201-234: one full
+    forward per generated token, no KV cache, UNK suppressed, EOS
+    re-masking + memory rebuild per sentence; here each sentence is one
+    jitted fori_loop program). Reports decoded token positions/s/chip
+    (S x N x max_t_len per batch call). Baseline ESTIMATE (the reference
+    publishes no decode throughput): the reference torch translator
+    measured on this host CPU (104.7 tokens/s at these shapes, 1 core)
+    times the same 3.8x retrieval GPU/CPU host ratio => ~398 tokens/s."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from coot_videotext_tpu.parallel.mesh import get_mesh
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+    from coot_videotext_tpu.tasks.caption.translator import Translator
+    from coot_videotext_tpu.utils.yaml_utils import load_yaml_config_file
+
+    stage(f"jax ready, backend={jax.default_backend()}")
+    yaml_path = (Path(__file__).resolve().parent / "config" / "caption"
+                 / "paper2020" / "yc2_100m_coot_vidclip_mart.yaml")
+    cfg = MartConfig(load_yaml_config_file(yaml_path))
+    vocab = 992
+    model = create_mart_model(cfg, vocab, verbose=False)
+
+    s, n = cfg.max_n_sen, int(os.environ.get("BENCH_DECODE_BATCH", "50"))
+    length = cfg.max_v_len + cfg.max_t_len
+    rng_np = np.random.RandomState(0)
+    ids = rng_np.randint(7, vocab, (s, n, length)).astype(np.int32)
+    mask = np.ones((s, n, length), np.float32)
+    tokty = np.concatenate(
+        [np.zeros((s, n, cfg.max_v_len), np.int32),
+         np.ones((s, n, cfg.max_t_len), np.int32)], axis=-1)
+    feats = rng_np.randn(s, n, length,
+                         cfg.video_feature_size).astype(np.float32)
+
+    import jax.random as jrandom
+    from coot_videotext_tpu.tasks.caption.steps import (
+        init_caption_train_state)
+    from coot_videotext_tpu.train.optim import make_bertadam
+    batch = {"input_ids": jnp.asarray(ids),
+             "input_labels": jnp.asarray(np.full_like(ids, -1)),
+             "input_mask": jnp.asarray(mask),
+             "token_type_ids": jnp.asarray(tokty),
+             "video_feature": jnp.asarray(feats)}
+    params = init_caption_train_state(
+        model, make_bertadam(), jrandom.PRNGKey(0), batch,
+        ema_decay=0).params
+    translator = Translator(model, lambda: params, cfg)
+    n_chips = get_mesh().devices.size
+
+    def decode_once():
+        out = translator.translate_batch_greedy(ids, feats, mask, tokty)
+        return out[-1]  # host numpy per sentence => already synced
+
+    stage("compiling decode programs (warmup)")
+    decode_once()
+    stage("warmup done")
+    t0 = time.perf_counter()
+    decode_once()
+    t_one = time.perf_counter() - t0
+    stage(f"1-call chain: {t_one:.3f}s")
+    k = int(os.environ.get("BENCH_DECODE_CALLS", "4"))
+    t0 = time.perf_counter()
+    for _ in range(k):
+        last = decode_once()
+    t_many = time.perf_counter() - t0
+    stage(f"{k}-call chain: {t_many:.3f}s")
+    per_call = (t_many - t_one) / (k - 1)
+    tokens_per_call = s * n * cfg.max_t_len
+    tok_s = tokens_per_call / per_call / n_chips
+    assert last.shape == (n, cfg.max_t_len)
+    result = {
+        "metric": "caption_decode_tokens_per_sec_per_chip",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tok_s / 398.0, 3),
+    }
+    stage(f"per_call={per_call:.3f}s")
+    print(json.dumps(result))
+
+
 def main() -> None:
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -459,5 +543,7 @@ if __name__ == "__main__":
         _mode = sys.argv[1]
     if _mode == "caption":
         main_caption()
+    elif _mode == "decode":
+        main_decode()
     else:
         main()
