@@ -46,11 +46,12 @@ FlatParams = Dict[Tuple[str, ...], np.ndarray]
 # buffers that exist in torch state dicts but are not parameters here
 _SKIP_PATTERNS = [
     r"(^|\.)embedding\.pe$",                 # sincos buffer (encoder.py:100)
-    r"(^|\.)position_embeddings(_text)?\.pe$",
+    r"(^|\.)position_embeddings(_text|_video)?\.pe$",
     r"\.fixed_ones$",                        # LearnableClsToken helper
     r"\.genpool_one$",                       # GenPool helper
     r"^loss_func\.",                         # LabelSmoothingLoss buffer
     r"\.num_batches_tracked$",
+    r"^encoder\.pos_emb\.inv_freq$",         # XL sincos buffer (model.py:848)
 ]
 
 
@@ -303,20 +304,183 @@ def _convert_mart_key(key: str, val: np.ndarray):
     if key == "decoder.bias":
         return ("decoder", "bias"), val
 
-    raise NotImplementedError(
-        f"unrecognized MART param {key} — only the recurrent (MART) and "
-        f"non-recurrent (vanilla) families are convertible; the untied / "
-        f"transformer-xl / masked-transformer variants are not yet")
+    raise NotImplementedError(f"unrecognized MART param {key}")
 
 
-def convert_mart_model_state(
-        torch_sd: Dict[str, np.ndarray]) -> FlatParams:
-    """MART 'model' state dict -> flat flax tree."""
+def _lin(name_grp: str, val: np.ndarray):
+    """torch Linear weight/bias -> (flax leaf name, value)."""
+    name = "kernel" if name_grp == "weight" else "bias"
+    return name, (val.T if name == "kernel" else val)
+
+
+def _convert_untied_key(key: str, val: np.ndarray):
+    """NonRecurTransformerUntied params (reference model.py:1261-1333):
+    separate text/video embedding stacks, a memory-free BERT encoder over
+    video, and a causal text decoder with cross-attention."""
+    m = re.fullmatch(
+        r"video_embeddings\.video_embeddings\.(\d+)\.(weight|bias)", key)
+    if m:
+        part = _EMB_SEQ[int(m.group(1))]
+        if part == "fc":
+            name, v = _lin(m.group(2), val)
+            return ("video_embeddings", "video_fc", name), v
+        return ("video_embeddings", f"video_{part}",
+                _bert_ln(m.group(2))), val
+    m = re.fullmatch(
+        r"decoder\.layer\.(\d+)\.(self_attention|dec_enc_attention)"
+        r"\.(query|key|value)\.(weight|bias)", key)
+    if m:
+        name, v = _lin(m.group(4), val)
+        return ("decoder", f"layer_{m.group(1)}", m.group(2),
+                m.group(3), name), v
+    m = re.fullmatch(r"decoder\.layer\.(\d+)\.(norm1|norm2)"
+                     r"\.(weight|bias)", key)
+    if m:
+        return ("decoder", f"layer_{m.group(1)}", m.group(2),
+                _bert_ln(m.group(3))), val
+    m = re.fullmatch(r"decoder\.layer\.(\d+)\.output\.dense"
+                     r"\.(weight|bias)", key)
+    if m:
+        name, v = _lin(m.group(2), val)
+        return ("decoder", f"layer_{m.group(1)}", "output", "dense",
+                name), v
+    m = re.fullmatch(r"decoder\.layer\.(\d+)\.output\.LayerNorm"
+                     r"\.(weight|bias)", key)
+    if m:
+        return ("decoder", f"layer_{m.group(1)}", "output", "LayerNorm",
+                _bert_ln(m.group(2))), val
+    m = re.fullmatch(r"decoder_classifier\.(.+)", key)
+    if m:
+        # same head layout as the recurrent family's `decoder.*`
+        path_val = _convert_mart_key(f"decoder.{m.group(1)}", val)
+        return (("decoder_classifier",) + path_val[0][1:], path_val[1])
+    # text embeddings + encoder layers share the recurrent family's layout
+    return _convert_mart_key(key, val)
+
+
+_XL_CORENET = {0: "fc1", 3: "fc2"}  # Sequential(Linear, ReLU, Drop, Linear)
+
+
+def _convert_xl_key(key: str, val: np.ndarray):
+    """TransformerXL params (reference model.py:848-1145): shared
+    embeddings (no positional add), relative-position attention layers
+    with global content/position biases, same prediction head."""
+    if key in ("encoder.r_w_bias", "encoder.r_r_bias"):
+        return ("encoder", key.split(".")[1]), val
+    m = re.fullmatch(
+        r"encoder\.layers\.(\d+)\.dec_attn\.(qkv_net|r_net|o_net)"
+        r"\.weight", key)
+    if m:
+        return ("encoder", f"layer_{m.group(1)}", "dec_attn",
+                m.group(2), "kernel"), val.T
+    m = re.fullmatch(r"encoder\.layers\.(\d+)\.dec_attn\.layer_norm"
+                     r"\.(weight|bias)", key)
+    if m:
+        return ("encoder", f"layer_{m.group(1)}", "dec_attn",
+                "layer_norm", _bert_ln(m.group(2))), val
+    m = re.fullmatch(r"encoder\.layers\.(\d+)\.pos_ff\.CoreNet"
+                     r"\.(\d+)\.(weight|bias)", key)
+    if m:
+        name, v = _lin(m.group(3), val)
+        return ("encoder", f"layer_{m.group(1)}", "pos_ff",
+                _XL_CORENET[int(m.group(2))], name), v
+    m = re.fullmatch(r"encoder\.layers\.(\d+)\.pos_ff\.layer_norm"
+                     r"\.(weight|bias)", key)
+    if m:
+        return ("encoder", f"layer_{m.group(1)}", "pos_ff",
+                "layer_norm", _bert_ln(m.group(2))), val
+    # embeddings + prediction head share the recurrent family's layout
+    return _convert_mart_key(key, val)
+
+
+_MTRANS_LN = {"gamma": "gamma", "beta": "beta"}
+
+
+def _convert_mtrans_key(key: str, val: np.ndarray):
+    """MTransformer params (reference masked_transformer.py): densecap
+    encoder-decoder with per-layer residual-norm blocks and an
+    embedding-tied output matrix."""
+    m = re.fullmatch(r"encoder\.video_embeddings\.(\d+)\.(gamma|beta)",
+                     key)
+    if m:
+        return ("video_ln", m.group(2)), val
+    m = re.fullmatch(r"encoder\.video_embeddings\.(\d+)\.(weight|bias)",
+                     key)
+    if m:
+        name, v = _lin(m.group(2), val)
+        return ("video_fc", name), v
+
+    m = re.fullmatch(
+        r"(encoder|decoder)\.layers\.(\d+)\.(selfattn|attention)"
+        r"\.layer\.(wq|wk|wv|wo)\.weight", key)
+    if m:
+        side = "enc" if m.group(1) == "encoder" else "dec"
+        return (f"{side}_layer_{m.group(2)}", m.group(3), m.group(4),
+                "kernel"), val.T
+    m = re.fullmatch(
+        r"(encoder|decoder)\.layers\.(\d+)\.(selfattn|attention)"
+        r"\.layernorm\.(gamma|beta)", key)
+    if m:
+        side = "enc" if m.group(1) == "encoder" else "dec"
+        if m.group(3) == "selfattn":
+            res = "res_attn" if side == "enc" else "res_self"
+        else:
+            res = "res_cross"
+        return (f"{side}_layer_{m.group(2)}", res, "layernorm",
+                m.group(4)), val
+    m = re.fullmatch(
+        r"(encoder|decoder)\.layers\.(\d+)\.feedforward\.layer"
+        r"\.(linear1|linear2)\.(weight|bias)", key)
+    if m:
+        side = "enc" if m.group(1) == "encoder" else "dec"
+        name, v = _lin(m.group(4), val)
+        return (f"{side}_layer_{m.group(2)}", "feedforward", m.group(3),
+                name), v
+    m = re.fullmatch(
+        r"(encoder|decoder)\.layers\.(\d+)\.feedforward\.layernorm"
+        r"\.(gamma|beta)", key)
+    if m:
+        side = "enc" if m.group(1) == "encoder" else "dec"
+        return (f"{side}_layer_{m.group(2)}", "res_ff", "layernorm",
+                m.group(3)), val
+    if key == "decoder.out.weight":
+        return ("out_kernel",), val.T
+    if key == "decoder.out.bias":
+        return ("out_bias",), val
+    raise NotImplementedError(f"unrecognized MTransformer param {key}")
+
+
+def detect_mart_family(torch_sd: Dict[str, np.ndarray]) -> str:
+    """Infer the caption architecture from its state-dict key shapes."""
+    keys = torch_sd.keys()
+    if any(k.startswith("video_embeddings.") for k in keys):
+        return "untied"
+    if any(".dec_attn." in k for k in keys):
+        return "xl"
+    if any(".selfattn.layer." in k for k in keys):
+        return "mtrans"
+    return "mart"
+
+
+_MART_CONVERTERS = {
+    "mart": _convert_mart_key,
+    "untied": _convert_untied_key,
+    "xl": _convert_xl_key,
+    "mtrans": _convert_mtrans_key,
+}
+
+
+def convert_mart_model_state(torch_sd: Dict[str, np.ndarray],
+                             family: str = None) -> FlatParams:
+    """MART-family 'model' state dict -> flat flax tree. Handles all five
+    architectures (recurrent/single via 'mart', untied, transformer-xl,
+    masked-transformer); family=None auto-detects from the keys."""
+    conv = _MART_CONVERTERS[family or detect_mart_family(torch_sd)]
     out: FlatParams = {}
     for key, val in torch_sd.items():
         if _skip(key):
             continue
-        path_val = _convert_mart_key(key, val)
+        path_val = conv(key, val)
         if path_val is not None:
             out[path_val[0]] = path_val[1]
     return out

@@ -230,3 +230,188 @@ def test_full_retrieval_pth_roundtrip(reference, tmp_path):
         converted["params"]["net_video_local"]["tf"]["layer_0"]
         ["self_attention"]["query_projection"]["kernel"])
     np.testing.assert_allclose(w_j, w_t.T)
+
+
+def _ref_cfg_ns2(cfg, vocab):
+    """SimpleNamespace with `in` support + the XL extras."""
+    ns = types.SimpleNamespace(
+        hidden_size=cfg.hidden_size, vocab_size=vocab,
+        word_vec_size=cfg.word_vec_size,
+        video_feature_size=cfg.video_feature_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        type_vocab_size=cfg.type_vocab_size,
+        layer_norm_eps=cfg.layer_norm_eps,
+        hidden_dropout_prob=cfg.hidden_dropout_prob,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
+        intermediate_size=cfg.intermediate_size,
+        n_memory_cells=cfg.n_memory_cells,
+        memory_dropout_prob=cfg.memory_dropout_prob,
+        share_wd_cls_weight=cfg.share_wd_cls_weight,
+        label_smoothing=cfg.label_smoothing,
+        initializer_range=cfg.initializer_range,
+        max_v_len=cfg.max_v_len, max_t_len=cfg.max_t_len,
+        xl_grad=getattr(cfg, "xl_grad", False), inf=32752.0)
+    cls = type("RefCfg", (types.SimpleNamespace,),
+               {"__contains__": lambda self, item: hasattr(self, item)})
+    return cls(**vars(ns))
+
+
+def _small_caption_cfg(reference, flags):
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    cfg_dict = load_yaml_config_file(CAPTION_YAML)
+    cfg_dict.update({"hidden_size": 64, "intermediate_size": 64,
+                     "num_attention_heads": 4, "word_vec_size": 32,
+                     "video_feature_size": 48, **flags})
+    return MartConfig(cfg_dict)
+
+
+def _untied_inputs(cfg, vocab, n, seed):
+    rng = np.random.RandomState(seed)
+    vids = rng.randn(n, cfg.max_v_len,
+                     cfg.video_feature_size).astype(np.float32)
+    vmask = (rng.rand(n, cfg.max_v_len) > 0.2).astype(np.float32)
+    tids = rng.randint(0, vocab, (n, cfg.max_t_len)).astype(np.int64)
+    tmask = (rng.rand(n, cfg.max_t_len) > 0.2).astype(np.float32)
+    labels = rng.randint(-1, vocab, (n, cfg.max_t_len)).astype(np.int64)
+    return vids, vmask, tids, tmask, labels
+
+
+def test_untied_golden_parity(reference):
+    """Torch NonRecurTransformerUntied == converted flax untied model."""
+    import torch
+    _, mart_model = reference
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+
+    vocab = 120
+    cfg = _small_caption_cfg(reference,
+                             {"recurrent": False, "untied": True})
+    assert cfg.model_type == "untied_single"
+    model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
+    torch.manual_seed(0)
+    ref = mart_model.NonRecurTransformerUntied(
+        _ref_cfg_ns2(cfg, vocab)).eval()
+
+    n = 3
+    vids, vmask, tids, tmask, labels = _untied_inputs(cfg, vocab, n, 0)
+    with torch.no_grad():
+        # the reference's NonRecurTransformerUntied.decode (model.py:1312)
+        # passes diagonal_mask= to a decoder whose kwarg is _diagonal_mask
+        # (model.py:700) — its released forward() crashes; replicate the
+        # intended flow with positional args instead
+        enc = ref.encode(torch.from_numpy(vids), torch.from_numpy(vmask))
+        dec = ref.decoder(ref.embeddings(torch.from_numpy(tids)),
+                          torch.from_numpy(tmask), enc,
+                          torch.from_numpy(vmask), True)[-1]
+        tscores = ref.decoder_classifier(dec)
+        tloss = ref.loss_func(tscores.view(-1, vocab),
+                              torch.from_numpy(labels).view(-1))
+
+    flat = torch_convert.convert_mart_model_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(vids),
+        jnp.asarray(vmask), jnp.asarray(tids), jnp.asarray(tmask),
+        jnp.asarray(labels), deterministic=True)["params"]
+    params = torch_convert.apply_converted(template, flat)
+    oloss, oscores = model.apply(
+        {"params": params}, jnp.asarray(vids), jnp.asarray(vmask),
+        jnp.asarray(tids), jnp.asarray(tmask), jnp.asarray(labels),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(oscores), tscores.numpy(),
+                               atol=3e-5)
+    assert abs(float(oloss) - float(tloss)) < 2e-3
+
+
+def test_xl_golden_parity(reference):
+    """Torch TransformerXL == converted flax XL (single sentence step)."""
+    import torch
+    _, mart_model = reference
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+
+    vocab = 120
+    cfg = _small_caption_cfg(reference, {"xl": True})
+    assert cfg.model_type == "xl"
+    model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
+    torch.manual_seed(0)
+    ref = mart_model.TransformerXL(_ref_cfg_ns2(cfg, vocab)).eval()
+
+    s, n = 2, 3
+    length = cfg.max_v_len + cfg.max_t_len
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, vocab, (s, n, length)).astype(np.int64)
+    vids = rng.randn(s, n, length,
+                     cfg.video_feature_size).astype(np.float32)
+    masks = np.ones((s, n, length), np.float32)
+    tokty = np.concatenate(
+        [np.zeros((s, n, cfg.max_v_len)),
+         np.ones((s, n, cfg.max_t_len))], -1).astype(np.int64)
+    labels = rng.randint(-1, vocab, (s, n, length)).astype(np.int64)
+
+    with torch.no_grad():
+        tloss, tscores = ref(
+            [torch.from_numpy(ids[i]) for i in range(s)],
+            [torch.from_numpy(vids[i]) for i in range(s)],
+            [torch.from_numpy(masks[i]) for i in range(s)],
+            [torch.from_numpy(tokty[i]) for i in range(s)],
+            [torch.from_numpy(labels[i]) for i in range(s)])
+    tscores = np.stack([t.numpy() for t in tscores])
+
+    flat = torch_convert.convert_mart_model_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(ids),
+        jnp.asarray(vids), jnp.asarray(masks), jnp.asarray(tokty),
+        jnp.asarray(labels), deterministic=True)["params"]
+    params = torch_convert.apply_converted(template, flat)
+    oloss, oscores = model.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(vids),
+        jnp.asarray(masks), jnp.asarray(tokty), jnp.asarray(labels),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(jnp.stack(list(oscores))),
+                               tscores, atol=5e-5)
+    assert abs(float(oloss) - float(tloss)) < 2e-3
+
+
+def test_mtrans_golden_parity(reference):
+    """Torch MTransformer == converted flax MTransformer."""
+    import torch
+    from mart.masked_transformer import MTransformer as RefMTransformer
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+
+    vocab = 120
+    cfg = _small_caption_cfg(reference,
+                             {"recurrent": False, "mtrans": True})
+    assert cfg.model_type == "mtrans_single"
+    model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
+    torch.manual_seed(0)
+    ref = RefMTransformer(_ref_cfg_ns2(cfg, vocab)).eval()
+
+    n = 3
+    vids, vmask, tids, tmask, labels = _untied_inputs(cfg, vocab, n, 1)
+    # mtrans applies the causal mask internally; keep text fully valid
+    tmask = np.ones_like(tmask)
+    with torch.no_grad():
+        tloss, tscores = ref(
+            torch.from_numpy(vids), torch.from_numpy(vmask),
+            torch.from_numpy(tids), torch.from_numpy(tmask),
+            torch.from_numpy(labels))
+
+    flat = torch_convert.convert_mart_model_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(vids),
+        jnp.asarray(vmask), jnp.asarray(tids), jnp.asarray(tmask),
+        jnp.asarray(labels), deterministic=True)["params"]
+    params = torch_convert.apply_converted(template, flat)
+    oloss, oscores = model.apply(
+        {"params": params}, jnp.asarray(vids), jnp.asarray(vmask),
+        jnp.asarray(tids), jnp.asarray(tmask), jnp.asarray(labels),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(oscores), tscores.numpy(),
+                               atol=5e-5)
+    assert abs(float(oloss) - float(tloss)) < 2e-3
