@@ -267,3 +267,113 @@ def test_beam_recurrent_token_parity(reference, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(our_out[i]), ref_out[i],
             err_msg=f"beam decode diverged at sentence step {i}")
+
+
+def test_greedy_xl_token_parity(reference):
+    """Reference torch XL greedy decode == ours, token for token, across
+    sentence steps (XL memory carried between steps)."""
+    import torch
+    from mart import translator as ref_translator
+    from coot_videotext_tpu.tasks.caption.translator import Translator
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+    from tests.test_torch_convert import _ref_cfg_ns2, _small_caption_cfg
+
+    _, mart_model = reference
+    vocab = 120
+    cfg = _small_caption_cfg(reference, {"xl": True})
+    model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
+    torch.manual_seed(5)
+    ref = mart_model.TransformerXL(_ref_cfg_ns2(cfg, vocab)).eval()
+
+    flat = torch_convert.convert_mart_model_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    s, n = 3, 4
+    ids, vids, masks, tokty = _decode_inputs(cfg, vocab, s, n, seed=6)
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(ids),
+        jnp.asarray(vids), jnp.asarray(masks), jnp.asarray(tokty),
+        jnp.asarray(ids), deterministic=True)["params"]
+    params = torch_convert.apply_converted(template, flat)
+
+    tr_ref = ref_translator.Translator(ref, _ref_cfg_ns2(cfg, vocab))
+    with torch.no_grad():
+        ref_out = tr_ref.translate_batch_greedy_xl(
+            [torch.from_numpy(ids[i].copy()) for i in range(s)],
+            [torch.from_numpy(vids[i]) for i in range(s)],
+            [torch.from_numpy(masks[i].copy()) for i in range(s)],
+            [torch.from_numpy(tokty[i]) for i in range(s)],
+            ref)
+    ref_out = [t.numpy() for t in ref_out]
+
+    tr = Translator(model, lambda: params, cfg)
+    our_out = tr.translate_batch_greedy_xl(ids, vids, masks, tokty)
+    assert len(ref_out) == len(our_out) == s
+    for i in range(s):
+        np.testing.assert_array_equal(
+            np.asarray(our_out[i]), ref_out[i],
+            err_msg=f"xl greedy decode diverged at sentence step {i}")
+
+
+def test_greedy_untied_token_parity(reference):
+    """Reference untied greedy decode == ours, token for token. The
+    reference's released untied path has two bugs its own trainer never
+    hits here — `model.cfg` (the untied model stores `config`,
+    model.py:1263) and the decode kwarg mismatch (diagonal_mask vs
+    _diagonal_mask, :1312/:700) — patched with the intended semantics so
+    the decode CONTRACT itself can be pinned."""
+    import torch
+    from mart import translator as ref_translator
+    from coot_videotext_tpu.tasks.caption.translator import Translator
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+    from tests.test_torch_convert import _ref_cfg_ns2, _small_caption_cfg
+
+    _, mart_model = reference
+    vocab = 120
+    cfg = _small_caption_cfg(reference,
+                             {"recurrent": False, "untied": True})
+    model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
+    torch.manual_seed(7)
+    ref = mart_model.NonRecurTransformerUntied(
+        _ref_cfg_ns2(cfg, vocab)).eval()
+    ref.cfg = ref.config  # reference bug 1: translator reads model.cfg
+
+    def fixed_decode(text_input_ids, text_masks, text_input_labels,
+                     encoder_outputs, encoder_masks):
+        # reference bug 2: decode() passes diagonal_mask= to a decoder
+        # whose kwarg is _diagonal_mask; call positionally instead
+        emb = ref.embeddings(text_input_ids)
+        out = ref.decoder(emb, text_masks, encoder_outputs,
+                          encoder_masks, True)[-1]
+        return None, ref.decoder_classifier(out)
+
+    ref.decode = fixed_decode
+
+    flat = torch_convert.convert_mart_model_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    n = 4
+    rng = np.random.RandomState(8)
+    vids = rng.randn(n, cfg.max_v_len,
+                     cfg.video_feature_size).astype(np.float32)
+    vmask = np.ones((n, cfg.max_v_len), np.float32)
+    vmask[0, -1] = 0
+    tids = np.zeros((n, cfg.max_t_len), np.int64)
+    tmask = np.zeros((n, cfg.max_t_len), np.float32)
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(vids),
+        jnp.asarray(vmask), jnp.asarray(tids), jnp.asarray(tmask),
+        jnp.asarray(tids), deterministic=True)["params"]
+    params = torch_convert.apply_converted(template, flat)
+
+    with torch.no_grad():
+        ref_out = ref_translator.Translator.\
+            translate_batch_single_sentence_untied_greedy(
+                torch.from_numpy(vids), torch.from_numpy(vmask),
+                torch.from_numpy(tids.copy()),
+                torch.from_numpy(tmask.copy()), None, ref).numpy()
+
+    tr = Translator(model, lambda: params, cfg)
+    our_out = tr.translate_batch_single_sentence_untied_greedy(
+        vids, vmask, tids, tmask)
+    np.testing.assert_array_equal(np.asarray(our_out), ref_out)
