@@ -36,17 +36,45 @@ def main() -> None:
     config = load_yaml_config_file(args.config_file)
 
     if set(torch_state) == {"model"}:
+        import jax as _jax
+        import jax.numpy as jnp
         from coot_videotext_tpu.tasks.caption.config import MartConfig
         from coot_videotext_tpu.tasks.caption.model_manager import (
-            MartModelManager, build_dummy_caption_batch, create_mart_model)
+            MartModelManager, build_dummy_caption_batch,
+            build_dummy_caption_batch_single, create_mart_model)
         cfg = MartConfig(config)
-        vocab_size = torch_state["model"][
-            "embeddings.word_embeddings.weight"].shape[0]
+        sd = torch_state["model"]
+        if "embeddings.word_embeddings.weight" in sd:
+            vocab_size = sd["embeddings.word_embeddings.weight"].shape[0]
+        else:  # masked-transformer ties the embedding to the out matrix
+            vocab_size = sd["decoder.out.weight"].shape[0]
         model = create_mart_model(cfg, vocab_size=vocab_size, verbose=False)
-        mgr = MartModelManager(cfg, model)
-        batch = build_dummy_caption_batch(cfg, vocab_size=vocab_size,
-                                          batch_size=2)
-        template = {"params": mgr.init_params(0, batch)}
+        rngs = {"params": _jax.random.PRNGKey(0),
+                "dropout": _jax.random.PRNGKey(0)}
+        if cfg.model_type in ("untied_single", "mtrans_single"):
+            b = build_dummy_caption_batch_single(cfg, vocab_size, 2,
+                                                 untied=True)
+            params = model.init(
+                rngs, jnp.asarray(b["video_feature"]),
+                jnp.asarray(b["video_mask"]), jnp.asarray(b["text_ids"]),
+                jnp.asarray(b["text_mask"]),
+                jnp.asarray(b["text_labels"]),
+                deterministic=True)["params"]
+        elif cfg.model_type == "single":
+            b = build_dummy_caption_batch_single(cfg, vocab_size, 2)
+            params = model.init(
+                rngs, jnp.asarray(b["input_ids"]),
+                jnp.asarray(b["video_feature"]),
+                jnp.asarray(b["input_mask"]),
+                jnp.asarray(b["token_type_ids"]),
+                jnp.asarray(b["input_labels"]),
+                deterministic=True)["params"]
+        else:  # recurrent families (mart / xl) use the stacked layout
+            mgr = MartModelManager(cfg, model)
+            batch = build_dummy_caption_batch(cfg, vocab_size=vocab_size,
+                                              batch_size=2)
+            params = mgr.init_params(0, batch)
+        template = {"params": params}
     else:
         from coot_videotext_tpu.tasks.retrieval.config import RetrievalConfig
         from coot_videotext_tpu.tasks.retrieval.model_manager import (

@@ -415,3 +415,46 @@ def test_mtrans_golden_parity(reference):
     np.testing.assert_allclose(np.asarray(oscores), tscores.numpy(),
                                atol=5e-5)
     assert abs(float(oloss) - float(tloss)) < 2e-3
+
+
+def test_convert_checkpoint_cli_mtrans(reference, tmp_path, monkeypatch):
+    """convert_checkpoint.py converts a non-recurrent (mtrans) caption
+    .pth end-to-end using the shipped mtrans config (vocab detected from
+    the tied output matrix; untied-layout template init)."""
+    import torch
+    from mart.masked_transformer import MTransformer as RefMTransformer
+
+    yaml_path = ("config/caption/paper2020/"
+                 "yc2_100m_coot_vidclip_mtrans.yaml")
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    cfg = MartConfig(load_yaml_config_file(yaml_path))
+    # shrink the reference model for test speed; the config drives OUR
+    # template, so mirror the same dims through an override yaml
+    small = load_yaml_config_file(yaml_path)
+    small.update({"hidden_size": 64, "intermediate_size": 64,
+                  "num_attention_heads": 4, "word_vec_size": 32,
+                  "video_feature_size": 48, "use_glove": False})
+    from coot_videotext_tpu.utils import yaml_utils
+    small_yaml = tmp_path / "mtrans_small.yaml"
+    yaml_utils.dump_yaml_config_file(str(small_yaml), small)
+    cfg = MartConfig(load_yaml_config_file(str(small_yaml)))
+
+    vocab = 90
+    torch.manual_seed(0)
+    ref = RefMTransformer(_ref_cfg_ns2(cfg, vocab)).eval()
+    pth = tmp_path / "model_3.pth"
+    torch.save({"model": ref.state_dict()}, pth)
+
+    out_dir = tmp_path / "converted"
+    import convert_checkpoint
+    monkeypatch.setattr(
+        sys, "argv",
+        ["convert_checkpoint.py", str(pth), "-c", str(small_yaml),
+         "-o", str(out_dir)])
+    convert_checkpoint.main()
+
+    from coot_videotext_tpu.train import checkpoint as ckpt
+    state = ckpt.restore_pytree(str(out_dir))
+    k = np.asarray(state["params"]["out_kernel"])
+    np.testing.assert_allclose(
+        k, ref.state_dict()["decoder.out.weight"].numpy().T)
