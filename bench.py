@@ -141,6 +141,11 @@ def _setup_jax():
     cache_dir = Path(__file__).resolve().parent / ".jax_cache"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(cache_dir))
 
+    # NOTE: on this environment `import jax` itself performs the TPU
+    # plugin handshake; if the tunnel is wedged (observed after a client
+    # was SIGKILLed mid-dispatch) the import blocks forever — this stage
+    # line makes that failure mode diagnosable from stderr alone.
+    stage("importing jax (TPU plugin handshake)")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
