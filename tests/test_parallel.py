@@ -164,7 +164,10 @@ def test_caption_step_mesh_matches_unmeshed(tmp_path_factory):
     overrides = generate_caption_dataset(
         root, num_videos=8, num_val_videos=4, mean_sentences=2.0,
         max_sentences=3, seed=1)
-    cfg = MartConfig(caption_config_dict({}, batch_size=8, num_epochs=1))
+    # 1 layer: SPMD-vs-plain equivalence is depth-independent and the
+    # recursive model's trace cost scales with layers x sentence steps
+    cfg = MartConfig(caption_config_dict({"num_hidden_layers": 1},
+                                         batch_size=8, num_epochs=1))
     train_set, _, train_loader, _ = create_mart_datasets_and_loaders(
         cfg, overrides["coot_feat_dir"], overrides["annotations_dir"],
         "unused", seed=0)
