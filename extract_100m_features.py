@@ -119,7 +119,15 @@ def main():
         if not windows:
             print(f"WARNING: Low amount of data for {key}, only "
                   f"{num_frames} frames.")
-            windows = [frames[:16]]
+            short = frames[:16]
+            if short.shape[0] < 16:
+                # repeat the last frame up to the 16-frame minimum the
+                # backbone's space-to-depth needs (the reference slices
+                # frames[:, :16] and crashes on shorter videos,
+                # reference extract_100m_features.py:147-150)
+                pad = np.repeat(short[-1:], 16 - short.shape[0], axis=0)
+                short = np.concatenate([short, pad], axis=0)
+            windows = [short]
 
         results = []
         for start in range(0, len(windows), args.batch_size):
