@@ -178,3 +178,34 @@ def test_fused_kernel_matches_reference_tpu():
             sc = max(float(jnp.abs(b_).max()), 1e-6)
             err = float(jnp.abs(a - b_).max()) / sc
             assert err < 5e-3, (dtype, name, err)
+
+
+def test_bwd_vmem_footprint_within_scoped_limit():
+    """The block-row picker must keep the modeled backward footprint
+    under the 16M scoped-vmem hardware limit for every supported
+    (din, dout, dtype) — the round-2 OOM came from an optimistic
+    footprint model (missing double buffering + a duplicate dW
+    accumulator), not from an oversized pick."""
+    from coot_videotext_tpu.ops.pallas_input_fc import (
+        _VMEM_BUDGET, _bwd_footprint, _pick_block_rows)
+
+    hard_limit = 16 * 1024 * 1024
+    assert _VMEM_BUDGET <= hard_limit
+    for din in (1024, 1536, 2048, 4096):
+        for dout in (256, 384, 512):
+            for itemsize in (2, 4):
+                fixed, per_row = _bwd_footprint(din, dout, itemsize)
+                if fixed + 32 * per_row > _VMEM_BUDGET:
+                    continue  # fused_input_fc_available() rejects these
+                for s in (512, 5120, 8192):
+                    bs = _pick_block_rows(s, din, dout, itemsize,
+                                          bwd=True)
+                    assert bs >= 1 and s % bs == 0
+                    assert fixed + bs * per_row <= hard_limit, (
+                        din, dout, itemsize, s, bs)
+    # the exact shape that OOMed in round 2 must still be available and
+    # fit: bf16, din=4096, dout=384 at 5120 rows
+    fixed, per_row = _bwd_footprint(4096, 384, 2)
+    bs = _pick_block_rows(5120, 4096, 384, 2, bwd=True)
+    assert bs >= 32
+    assert fixed + bs * per_row <= hard_limit
