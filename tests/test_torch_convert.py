@@ -338,6 +338,11 @@ def test_xl_golden_parity(reference):
     model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
     torch.manual_seed(0)
     ref = mart_model.TransformerXL(_ref_cfg_ns2(cfg, vocab)).eval()
+    # r_w_bias/r_r_bias are uninitialized memory in the reference (see
+    # test_translator_parity.py) — define them for reproducibility
+    with torch.no_grad():
+        ref.encoder.r_w_bias.normal_(0, cfg.initializer_range)
+        ref.encoder.r_r_bias.normal_(0, cfg.initializer_range)
 
     s, n = 2, 3
     length = cfg.max_v_len + cfg.max_t_len

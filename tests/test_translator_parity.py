@@ -285,6 +285,13 @@ def test_greedy_xl_token_parity(reference):
     model = create_mart_model(cfg, vocab_size=vocab, verbose=False)
     torch.manual_seed(5)
     ref = mart_model.TransformerXL(_ref_cfg_ns2(cfg, vocab)).eval()
+    # the reference leaves r_w_bias/r_r_bias as UNINITIALIZED memory
+    # (nn.Parameter(torch.Tensor(...)), untouched by init_bert_weights,
+    # model.py:1088-1089) — garbage (occasionally inf/NaN) makes decode
+    # comparison nondeterministic; give them defined values
+    with torch.no_grad():
+        ref.encoder.r_w_bias.normal_(0, cfg.initializer_range)
+        ref.encoder.r_r_bias.normal_(0, cfg.initializer_range)
 
     flat = torch_convert.convert_mart_model_state(
         {k: v.numpy() for k, v in ref.state_dict().items()})
