@@ -52,3 +52,27 @@ def test_reference_provided_experiments_readme_table():
                                                  + "\n"))
     out = buf.getvalue()
     assert "anet_coot_run (3)" in out
+
+
+def test_ab_compare_reads_committed_evidence():
+    """tools/ab_compare.py parses the committed A/B metric evidence
+    (docs/ab_evidence) — locks the metrics-json schema the PARITY.md
+    trajectories are built from."""
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    try:
+        import ab_compare
+    finally:
+        sys.path.pop(0)
+    runs = {p.name: ab_compare.load_run(p)
+            for p in (repo / "docs" / "ab_evidence").iterdir()
+            if (p / "metrics").is_dir()}
+    assert len(runs) >= 4  # 2 ref seeds + 2 tpu seeds
+    for name, eps in runs.items():
+        assert len(eps) >= 30, name  # full trajectories survived cleanup
+        first, last = eps[min(eps)], eps[max(eps)]
+        assert first["vloss"] > 1.5 and last["vloss"] < 0.1, name
+        assert last["v2p@1"] >= 0.97, name
+        assert last["c2s@1"] >= 0.95, name
