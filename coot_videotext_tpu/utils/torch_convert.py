@@ -520,6 +520,14 @@ def apply_converted(params_template, flat: FlatParams):
             raise ValueError(
                 f"shape mismatch for {'/'.join(key)}: checkpoint "
                 f"{tuple(val.shape)} vs model {tuple(leaf.shape)}")
+        if not np.isfinite(val).all():
+            # e.g. the reference XL's r_w_bias/r_r_bias are uninitialized
+            # memory when saved untrained (model.py:1088-1089) — importing
+            # inf/NaN silently poisons every downstream computation
+            raise ValueError(
+                f"non-finite values in checkpoint param {'/'.join(key)}"
+                " — corrupted or never-initialized (see reference XL "
+                "r_w_bias); refusing to import")
         used.add(key)
         return val.astype(np.asarray(leaf).dtype)
 
