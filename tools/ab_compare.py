@@ -13,13 +13,21 @@ import json
 import re
 from pathlib import Path
 
-FIELDS = [
+RETRIEVAL_FIELDS = [
     ("val_base/loss", "vloss", 3),
     ("val_base/vid2par-r1", "v2p@1", 3),
     ("val_base/par2vid-r1", "p2v@1", 3),
     ("val_base/cli2sen-r1", "c2s@1", 3),
     ("val_base/sen2cli-r1", "s2c@1", 3),
 ]
+CAPTION_FIELDS = [
+    ("val_base/loss", "vloss", 3),
+    ("train/acc", "tacc", 3),
+    ("cap/b4", "b4", 3),
+    ("cap/rogl", "rougeL", 3),
+    ("cap/re4", "re4", 3),
+]
+FIELDS = RETRIEVAL_FIELDS
 
 
 def load_run(run_dir: Path):
@@ -38,7 +46,9 @@ def load_run(run_dir: Path):
 
 
 def find_runs(base: Path):
-    return {p.name: p for p in sorted(base.glob("retrieval/*/*"))
+    # experiment trees (<task>/<group>/<run>) or flat evidence dirs
+    cands = list(base.glob("*/*/*")) + list(base.glob("*"))
+    return {p.name: p for p in sorted(cands)
             if (p / "metrics").is_dir()}
 
 
@@ -46,7 +56,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="experiments_ref_ab")
     ap.add_argument("--tpu", default="experiments_tpu_ab")
+    ap.add_argument("--task", default="retrieval",
+                    choices=["retrieval", "caption"])
     args = ap.parse_args()
+
+    global FIELDS
+    FIELDS = (CAPTION_FIELDS if args.task == "caption"
+              else RETRIEVAL_FIELDS)
 
     repo = Path(__file__).resolve().parent.parent
     ref_runs = {n: r for n, p in find_runs(repo / args.ref).items()
