@@ -66,13 +66,25 @@ def test_ab_compare_reads_committed_evidence():
         import ab_compare
     finally:
         sys.path.pop(0)
-    runs = {p.name: ab_compare.load_run(p)
-            for p in (repo / "docs" / "ab_evidence").iterdir()
+    runs = {p.name: p for p in (repo / "docs" / "ab_evidence").iterdir()
             if (p / "metrics").is_dir()}
-    assert len(runs) >= 4  # 2 ref seeds + 2 tpu seeds
-    for name, eps in runs.items():
+    ret = {n: ab_compare.load_run(p) for n, p in runs.items()
+           if "yc2like" in n}
+    cap = {}
+    ab_compare.FIELDS = ab_compare.CAPTION_FIELDS
+    try:
+        cap = {n: ab_compare.load_run(p) for n, p in runs.items()
+               if "capsynth" in n}
+    finally:
+        ab_compare.FIELDS = ab_compare.RETRIEVAL_FIELDS
+    assert len(ret) >= 4  # 2 ref seeds + 2 tpu seeds
+    for name, eps in ret.items():
         assert len(eps) >= 30, name  # full trajectories survived cleanup
         first, last = eps[min(eps)], eps[max(eps)]
         assert first["vloss"] > 1.5 and last["vloss"] < 0.1, name
         assert last["v2p@1"] >= 0.97, name
         assert last["c2s@1"] >= 0.95, name
+    assert len(cap) >= 4
+    for name, eps in cap.items():
+        first, last = eps[min(eps)], eps[max(eps)]
+        assert first["vloss"] > 3.0 and last["vloss"] < 1.5, name
