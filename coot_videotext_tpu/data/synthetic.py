@@ -187,6 +187,13 @@ def generate_caption_dataset(
     ann_dir.mkdir(parents=True, exist_ok=True)
     emb_dir.mkdir(parents=True, exist_ok=True)
 
+    # one global latent->embedding map (like generate_retrieval_dataset's
+    # shared_projections): with per-video projections the caption words,
+    # which are derived from the clip latent, are unlearnable from the
+    # embeddings on held-out videos — degenerate decodes zero out CIDEr
+    shared_proj_v = rng.randn(8, coot_dim_vid).astype(np.float32) / 3
+    shared_proj_c = rng.randn(8, coot_dim_clip).astype(np.float32) / 3
+
     words = [f"word{i}" for i in range(vocab_words)]
     word2idx = {"[PAD]": 0, "[CLS]": 1, "[SEP]": 2, "[VID]": 3,
                 "[BOS]": 4, "[EOS]": 5, "[UNK]": 6}
@@ -218,12 +225,10 @@ def generate_caption_dataset(
                          "sentences": sentences}
             keys.append(vid)
             clip_nums.append(n_sen)
-            proj_v = rng.randn(8, coot_dim_vid).astype(np.float32) / 3
-            proj_c = rng.randn(8, coot_dim_clip).astype(np.float32) / 3
-            vid_embs.append(latents.mean(0) @ proj_v)
-            ctx_embs.append(latents.mean(0) @ proj_c)
+            vid_embs.append(latents.mean(0) @ shared_proj_v)
+            ctx_embs.append(latents.mean(0) @ shared_proj_c)
             for j in range(n_sen):
-                clip_embs.append(latents[j] @ proj_c)
+                clip_embs.append(latents[j] @ shared_proj_c)
         ann_name = ("captioning_train.json" if split == "train"
                     else "captioning_val.json")
         (ann_dir / ann_name).write_text(json.dumps(data), encoding="utf8")
