@@ -88,3 +88,33 @@ def test_ab_compare_reads_committed_evidence():
     for name, eps in cap.items():
         first, last = eps[min(eps)], eps[max(eps)]
         assert first["vloss"] > 3.0 and last["vloss"] < 1.5, name
+
+
+def test_embeddings_retrieval_cli(tmp_path, monkeypatch, capsys):
+    """Offline retrieval CLI on a saved embeddings h5, both the current
+    schema and the reference's legacy *_norm keys (reference
+    test_embeddings_retrieval.py:22-30)."""
+    import sys
+    import h5py
+    import numpy as np
+    import test_embeddings_retrieval as tool
+
+    rng = np.random.RandomState(0)
+    n, d = 12, 16
+    emb = rng.randn(n, d).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    for variant, keys in (
+            ("new", ("vid_emb", "par_emb", "clip_emb", "sent_emb")),
+            ("legacy", ("vid_norm", "par_norm", "clip_norm",
+                        "sent_norm"))):
+        path = tmp_path / f"embeddings_{variant}.h5"
+        with h5py.File(path, "w") as h5:
+            for k in keys:
+                # identical embeddings per pair -> perfect retrieval
+                h5[k] = emb
+        monkeypatch.setattr(sys, "argv", ["x", str(path)])
+        tool.main()
+        out = capsys.readouterr().out
+        assert "R@1" in out
+        # self-retrieval of identical sets is perfect
+        assert "100.0" in out or "1.000" in out, out
