@@ -92,6 +92,20 @@ def shard_state_for_tp(state, mesh: Mesh,
                 lambda _: NamedSharding(mesh, P()), tree)
 
     rep = NamedSharding(mesh, P())
+    params_struct = jax.tree_util.tree_structure(state.params)
+
+    def field_shardings(val):
+        # param-structured subtrees (e.g. a CaptionTrainState's EMA
+        # shadow) follow the param shardings, possibly nested inside a
+        # NamedTuple wrapper; scalars/others replicate; None stays None
+        if val is None:
+            return None
+        if jax.tree_util.tree_structure(val) == params_struct:
+            return param_shardings
+        if isinstance(val, tuple) and hasattr(val, "_fields"):
+            return type(val)(*[field_shardings(v) for v in val])
+        return jax.tree_util.tree_map(lambda _: rep, val)
+
     state_shardings = state._replace(
         params=param_shardings,
         opt_state=jax.tree_util.tree_map(
@@ -99,7 +113,7 @@ def shard_state_for_tp(state, mesh: Mesh,
                          if isinstance(sub, type(state.params)) else sub),
             state.opt_state,
             is_leaf=lambda x: isinstance(x, type(state.params))),
-        **{f: rep for f in state._fields
+        **{f: field_shardings(getattr(state, f)) for f in state._fields
            if f not in ("params", "opt_state")})
     # opt_state: AdamState(mu=param-tree, nu=param-tree, ...) — map each
     # param-structured subtree to the param shardings, scalars replicated

@@ -44,9 +44,13 @@ def stacked_batch_sharding(mesh):
 
 def make_caption_train_step(model, optimizer: Optimizer, *,
                             ema_decay: float, clip_gradient: float = 1.0,
-                            mesh=None) -> Callable:
+                            mesh=None, state_shardings=None) -> Callable:
     """step(state, batch, lr, rng) -> (state, metrics). metrics:
-    loss (sum over steps), n_correct, n_word, grad_norm."""
+    loss (sum over steps), n_correct, n_word, grad_norm.
+
+    state_shardings (parallel/tp.py shard_state_for_tp) enables tensor
+    parallelism over a `model` mesh axis: rule-matched BERT projection
+    kernels shard, GSPMD inserts the activation collectives."""
 
     use_ema = ema_decay > 0
 
@@ -89,9 +93,10 @@ def make_caption_train_step(model, optimizer: Optimizer, *,
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
     rep = replicated_sharding(mesh)
+    state_sh = state_shardings if state_shardings is not None else rep
     data = stacked_batch_sharding(mesh)
-    return jax.jit(step_fn, in_shardings=(rep, data, rep, rep),
-                   out_shardings=(rep, rep),
+    return jax.jit(step_fn, in_shardings=(state_sh, data, rep, rep),
+                   out_shardings=(state_sh, rep),
                    donate_argnums=donate_argnums_for(mesh))
 
 

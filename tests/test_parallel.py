@@ -214,3 +214,72 @@ def test_caption_step_mesh_matches_unmeshed(tmp_path_factory):
     for a, b in zip(ea, eb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_caption_tp_step_matches_dp(tmp_path_factory):
+    """Caption dp x tp (BERT projection kernels sharded over `model`,
+    EMA shadow sharded like params via shard_state_for_tp) must produce
+    the same loss/params/ema as pure dp."""
+    from coot_videotext_tpu.data.caption_dataset import (
+        create_mart_datasets_and_loaders)
+    from coot_videotext_tpu.data.synthetic import generate_caption_dataset
+    from coot_videotext_tpu.tasks.caption.config import MartConfig
+    from coot_videotext_tpu.tasks.caption.model_manager import (
+        create_mart_model)
+    from coot_videotext_tpu.tasks.caption.steps import (
+        init_caption_train_state, make_caption_train_step,
+        stacked_batch_sharding)
+    from coot_videotext_tpu.train.optim import make_bertadam
+    from tests.helpers import caption_config_dict
+
+    root = tmp_path_factory.mktemp("captp")
+    overrides = generate_caption_dataset(
+        root, num_videos=8, num_val_videos=4, mean_sentences=2.0,
+        max_sentences=3, seed=2)
+    # hidden 32 / 4 heads divides the model axis (2); 1 layer for trace
+    cfg = MartConfig(caption_config_dict({"num_hidden_layers": 1},
+                                         batch_size=8, num_epochs=1))
+    _, _, train_loader, _ = create_mart_datasets_and_loaders(
+        cfg, overrides["coot_feat_dir"], overrides["annotations_dir"],
+        "unused", seed=0)
+    model = create_mart_model(cfg, 73, verbose=False)
+    stacked, _, _ = next(iter(train_loader))
+    keys = ("input_ids", "input_labels", "input_mask", "token_type_ids",
+            "video_feature")
+    batch = {k: jnp.asarray(stacked[k]) for k in keys}
+    optimizer = make_bertadam(eps=cfg.eps)
+    lr = jnp.float32(1e-4)
+    rng = jax.random.PRNGKey(1)
+
+    results = {}
+    for name, mesh_shape in (("dp", {"data": 8}),
+                             ("dp_tp", {"data": 4, "model": 2})):
+        mesh = get_mesh(mesh_shape)
+        state = init_caption_train_state(
+            model, optimizer, jax.random.PRNGKey(0), stacked,
+            ema_decay=cfg.ema_decay)
+        state, state_sh = shard_state_for_tp(state, mesh)
+        n_sharded = sum(
+            1 for s in jax.tree_util.tree_leaves(
+                state_sh.params, is_leaf=lambda x: hasattr(x, "spec"))
+            if any(ax is not None for ax in s.spec))
+        if name == "dp_tp":
+            assert n_sharded >= 3  # q/k/v (+ffn) kernels actually shard
+        step = make_caption_train_step(
+            model, optimizer, ema_decay=cfg.ema_decay,
+            clip_gradient=1.0, mesh=mesh, state_shardings=state_sh)
+        b = {k: jax.device_put(v, stacked_batch_sharding(mesh))
+             for k, v in batch.items()}
+        new_state, metrics = step(state, b, lr, rng)
+        results[name] = (float(metrics["loss"]),
+                         jax.device_get(new_state.params),
+                         jax.device_get(new_state.ema))
+    assert np.isclose(results["dp"][0], results["dp_tp"][0], rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(results["dp"][1]),
+                    jax.tree_util.tree_leaves(results["dp_tp"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(results["dp"][2]),
+                    jax.tree_util.tree_leaves(results["dp_tp"][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
