@@ -24,14 +24,32 @@ forced by fetching a scalar that depends on the updated parameters, and
 the per-step time is the difference quotient between a 1-group and an
 N-group dispatch chain (cancelling the constant dispatch+fetch latency).
 
+DRIVER-PROOFING (round 3): this script ALWAYS prints exactly one JSON
+line to stdout, within BENCH_DEADLINE seconds (default 390), whatever
+happens. A parent process (no jax import — the TPU plugin handshake
+itself can hang when the tunnel is wedged) runs the actual benchmark in
+a worker subprocess, retries transient backend-init failures
+(UNAVAILABLE) with backoff, and on unrecoverable failure emits
+{"metric": ..., "value": null, "unit": ..., "vs_baseline": null,
+ "error": ..., "stage": ...} so the driver's parse never comes up empty.
+Stage timestamps go to stderr so any timeout is diagnosable from the log
+tail. The persistent XLA compile cache (.jax_cache/) is shared across
+invocations, so a bench run warmed in-session makes the driver's run
+skip the program compiles entirely.
+
 Baseline derivation (no throughput numbers exist in the reference; see
 BASELINE.md): README.md:158 reports 1.45 +/- 0.41 h total training
 wall-clock for yc2_2d3d on 1 GPU over the 1333-video / ~10.3k-clip train
 split for ~80 epochs => ~122 clips/s reference throughput per GPU.
 vs_baseline = ours / 122.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-Stage timestamps go to stderr so any future timeout is diagnosable.
+The JSON line additionally reports achieved model FLOP/s and MFU. The
+FLOP count is analytic (documented in flops_per_retrieval_step below):
+2*matmul_params per token for every dense contraction in the 4-network
+forward + the attention score/value quadratics, times 3 for
+forward+backward. At these model sizes (d=384, L<=80, batch 64) the
+step is bandwidth/overhead-bound, not MXU-bound — single-digit MFU is
+the honest expectation; the number is emitted so the claim is auditable.
 
 A second mode (BENCH_MODE=caption, or `python bench.py caption`) benches
 the MART captioning train step at the yc2_100m_coot_vidclip_mart workload
@@ -50,6 +68,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 from functools import partial
@@ -61,13 +81,102 @@ REFERENCE_CLIPS_PER_SEC = 122.0
 # estimated reference GPU caption throughput (see module docstring):
 # 795 words/s torch-CPU x 3.8 retrieval GPU/CPU ratio on the same host
 REFERENCE_CAPTION_WORDS_PER_SEC = 3.0e3
+REFERENCE_DECODE_TOKENS_PER_SEC = 398.0
+
+_MODE_UNITS = {
+    "retrieval": ("train_clips_per_sec_per_chip", "clips/s/chip"),
+    "caption": ("caption_words_per_sec_per_chip", "words/s/chip"),
+    "decode": ("caption_decode_tokens_per_sec_per_chip", "tokens/s/chip"),
+}
+
+# peak dense bf16 FLOP/s per chip by device kind (public spec sheets)
+_PEAK_BF16 = (
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),
+    ("v5e", 197e12),
+    ("v6", 918e12),
+    ("trillium", 918e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
 
 _T0 = time.perf_counter()
+_LAST_STAGE = "startup"
 
 
 def stage(msg: str) -> None:
+    global _LAST_STAGE
+    _LAST_STAGE = msg
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
+    # mirror the stage to a file so the parent watchdog can report where a
+    # hung worker died even when SIGTERM can't preempt a blocked XLA call
+    path = os.environ.get("BENCH_STAGE_FILE")
+    if path:
+        try:
+            with open(path, "w") as fh:
+                fh.write(msg)
+        except OSError:
+            pass
+
+
+def peak_bf16_flops(device_kind: str):
+    kind = device_kind.lower()
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return None
+
+
+def _matmul_param_count(tree) -> int:
+    """Total elements of >=2-D parameter leaves (every dense contraction
+    weight; excludes 1-D LayerNorm scales/biases)."""
+    import jax
+    return sum(int(np.prod(leaf.shape))
+               for leaf in jax.tree_util.tree_leaves(tree)
+               if getattr(leaf, "ndim", 0) >= 2)
+
+
+def flops_per_retrieval_step(params, shapes, bsz: int,
+                             hidden: int = 384, n_layers: int = 1) -> float:
+    """Analytic model FLOPs of ONE train step (fwd+bwd) of the 4-network
+    hierarchy. Dense contractions: 2*params*tokens per net (each net runs
+    over its own token stream); attention score+value quadratics:
+    4*L*hidden per token per self-attn layer. Backward = 2x forward.
+    """
+    tokens = {
+        "net_video_local": bsz * shapes["lv"]
+        + shapes["pack_clips"] * shapes["lc"],
+        "net_text_local": bsz * shapes["lp"]
+        + shapes["pack_sents"] * shapes["ls"],
+        # global nets run over the part sequence + 1 cross-attn query
+        "net_video_global": bsz * (shapes["n_parts"] + 1),
+        "net_text_global": bsz * (shapes["n_parts"] + 1),
+    }
+    attn_tok_l2 = {
+        "net_video_local": bsz * shapes["lv"] ** 2
+        + shapes["pack_clips"] * shapes["lc"] ** 2,
+        "net_text_local": bsz * shapes["lp"] ** 2
+        + shapes["pack_sents"] * shapes["ls"] ** 2,
+        "net_video_global": bsz * shapes["n_parts"] ** 2,
+        "net_text_global": bsz * shapes["n_parts"] ** 2,
+    }
+    fwd = 0.0
+    for net, toks in tokens.items():
+        fwd += 2.0 * _matmul_param_count(params[net]) * toks
+        fwd += 4.0 * hidden * n_layers * attn_tok_l2[net]
+    return 3.0 * fwd
+
+
+def flops_per_caption_step(params, s: int, n: int, length: int,
+                           hidden: int = 768, n_layers: int = 2) -> float:
+    """Analytic MART train-step FLOPs: the recurrent forward processes the
+    full (S,N,L) joint sequence every sentence step."""
+    tokens = s * n * length
+    fwd = 2.0 * _matmul_param_count(params) * tokens
+    fwd += 4.0 * hidden * n_layers * s * n * length ** 2
+    return 3.0 * fwd
 
 
 def build_tables(num_videos: int, *, mean_clips: float, max_clips: int,
@@ -144,19 +253,27 @@ def _setup_jax():
     # NOTE: on this environment `import jax` itself performs the TPU
     # plugin handshake; if the tunnel is wedged (observed after a client
     # was SIGKILLed mid-dispatch) the import blocks forever — this stage
-    # line makes that failure mode diagnosable from stderr alone.
+    # line makes that failure mode diagnosable from stderr alone, and the
+    # parent watchdog bounds it.
     stage("importing jax (TPU plugin handshake)")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # this environment's sitecustomize registers the TPU plugin in a way
+    # that overrides the JAX_PLATFORMS env var; honoring it explicitly
+    # keeps `JAX_PLATFORMS=cpu python bench.py` runnable off-TPU
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    stage("jax imported; querying backend")
     if jax.default_backend() == "tpu":
         jax.config.update("jax_default_prng_impl", "rbg")
     return jax
 
 
-def main_caption() -> None:
+def run_caption() -> dict:
     """MART caption train-step throughput (words/s/chip)."""
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -232,6 +349,9 @@ def main_caption() -> None:
         model, optimizer, jax.random.PRNGKey(0), batch,
         ema_decay=cfg.ema_decay)
     state = jax.device_put(state, rep)
+    flops_step = flops_per_caption_step(
+        state.params, s, n, length, hidden=cfg.hidden_size,
+        n_layers=cfg.num_hidden_layers)
     step = make_caption_train_step(
         model, optimizer, ema_decay=cfg.ema_decay,
         clip_gradient=float(cfg.train.clip_gradient), mesh=mesh)
@@ -272,11 +392,33 @@ def main_caption() -> None:
         "vs_baseline": round(
             words_per_sec_chip / REFERENCE_CAPTION_WORDS_PER_SEC, 3),
     }
+    result.update(_perf_extras(jax, flops_step, per_step, n_chips))
     stage(f"per_step={per_step * 1e3:.2f}ms  loss={loss:.4f}")
-    print(json.dumps(result))
+    return result
 
 
-def main_decode() -> None:
+def _perf_extras(jax, flops_step: float, per_step: float,
+                 n_chips: int) -> dict:
+    """Achieved FLOP/s + MFU fields for the result JSON."""
+    achieved = flops_step / per_step / n_chips
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform)
+    peak = peak_bf16_flops(str(kind))
+    out = {
+        "backend": jax.default_backend(),
+        "device_kind": str(kind),
+        "per_step_ms": round(per_step * 1e3, 3),
+        "model_flops_per_step": round(flops_step),
+        "model_flops_per_sec_per_chip": round(achieved),
+        "flops_method": "analytic-matmul (2*params*tokens + attn, x3 bwd)",
+    }
+    if peak is not None and jax.default_backend() == "tpu":
+        out["mfu"] = round(achieved / peak, 5)
+        out["mfu_peak_flops_bf16"] = peak
+    return out
+
+
+def run_decode() -> dict:
     """MART greedy decode throughput (free-running translation — the
     reference's validation hot loop, translator.py:201-234: one full
     forward per generated token, no KV cache, UNK suppressed, EOS
@@ -354,13 +496,15 @@ def main_decode() -> None:
         "metric": "caption_decode_tokens_per_sec_per_chip",
         "value": round(tok_s, 2),
         "unit": "tokens/s/chip",
-        "vs_baseline": round(tok_s / 398.0, 3),
+        "vs_baseline": round(tok_s / REFERENCE_DECODE_TOKENS_PER_SEC, 3),
+        "backend": jax.default_backend(),
+        "per_call_ms": round(per_call * 1e3, 3),
     }
     stage(f"per_call={per_call:.3f}s")
-    print(json.dumps(result))
+    return result
 
 
-def main() -> None:
+def run_retrieval() -> dict:
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -460,6 +604,7 @@ def main() -> None:
     # ---- model + optimizer + scan step ----
     mgr = RetrievalModelManager(cfg)
     params = mgr.init_params(0)
+    flops_step = flops_per_retrieval_step(params, shapes, bsz)
     optimizer = make_optimizer(cfg.optimizer)
     state = TrainState(params, optimizer.init(params), jnp.int32(0))
     state = jax.device_put(state, rep)
@@ -538,17 +683,156 @@ def main() -> None:
         "vs_baseline": round(clips_per_sec_chip / REFERENCE_CLIPS_PER_SEC,
                              3),
     }
-    stage(f"per_step={per_step * 1e3:.2f}ms  loss={loss:.4f}")
-    print(json.dumps(result))
+    result.update(_perf_extras(jax, flops_step, per_step, n_chips))
+    stage(f"per_step={per_step * 1e3:.2f}ms  loss={loss:.4f}  "
+          f"mfu={result.get('mfu')}")
+    return result
+
+
+# ---------------------------------------------------------------------------
+# driver-proof orchestration
+# ---------------------------------------------------------------------------
+
+_RUNNERS = {"retrieval": run_retrieval, "caption": run_caption,
+            "decode": run_decode}
+
+
+def _error_result(mode: str, error: str, at_stage: str,
+                  attempts: int) -> dict:
+    metric, unit = _MODE_UNITS.get(mode, _MODE_UNITS["retrieval"])
+    return {"metric": metric, "value": None, "unit": unit,
+            "vs_baseline": None, "error": error, "stage": at_stage,
+            "attempts": attempts}
+
+
+def _worker(mode: str) -> int:
+    """Run one benchmark attempt; print exactly one JSON line to stdout."""
+    def on_term(_sig, _frm):
+        print(json.dumps(_error_result(
+            mode, "worker terminated by watchdog (deadline)",
+            _LAST_STAGE, 1)), flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGTERM, on_term)
+    try:
+        result = _RUNNERS[mode]()
+    except BaseException as exc:  # noqa: BLE001 - must always emit JSON
+        err = f"{type(exc).__name__}: {exc}"
+        print(json.dumps(_error_result(mode, err[:2000], _LAST_STAGE, 1)),
+              flush=True)
+        return 1
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+def _parse_result(out: str):
+    for line in reversed((out or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def _retriable(error: str) -> bool:
+    low = (error or "").lower()
+    return any(tok in low for tok in (
+        "unavailable", "backend", "initialize", "deadline_exceeded",
+        "failed_precondition", "connection"))
+
+
+def _parent(mode: str) -> int:
+    """Watchdog wrapper: ALWAYS prints one JSON line within the deadline.
+
+    The actual bench runs in a worker subprocess because a wedged TPU
+    tunnel hangs `import jax` itself — an in-process watchdog could never
+    preempt that. Transient backend-init failures (the BENCH_r02 mode:
+    UNAVAILABLE raised within seconds) are retried with backoff in a
+    fresh process; a hang (the tunnel-wedge mode) burns the whole budget
+    once and is reported, since retrying into a wedged tunnel cannot help.
+    """
+    deadline = float(os.environ.get("BENCH_DEADLINE", "390"))
+    attempts_max = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    reserve = 10.0  # seconds kept for our own teardown + emission
+    t_start = time.monotonic()
+    last_err, last_stage = "never attempted", "startup"
+    attempt = 0
+
+    for attempt in range(1, attempts_max + 1):
+        remaining = deadline - (time.monotonic() - t_start) - reserve
+        if remaining < 30:
+            last_err += " (no budget left for another attempt)"
+            break
+        stage(f"attempt {attempt}/{attempts_max}: launching worker "
+              f"(budget {remaining:.0f}s)")
+        stage_file = Path(f"/tmp/bench_stage_{os.getpid()}_{attempt}")
+        env = dict(os.environ, BENCH_STAGE_FILE=str(stage_file))
+        proc = subprocess.Popen(
+            [sys.executable, "-u", __file__, "--worker", mode],
+            stdout=subprocess.PIPE, stderr=None, text=True, env=env)
+        timed_out = False
+        try:
+            out, _ = proc.communicate(timeout=remaining)
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            stage("worker exceeded the bench deadline; terminating it")
+            proc.terminate()
+            try:
+                out, _ = proc.communicate(timeout=8)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                out, _ = proc.communicate()
+        file_stage = None
+        if stage_file.exists():
+            file_stage = stage_file.read_text().strip() or None
+            stage_file.unlink(missing_ok=True)
+        parsed = _parse_result(out)
+        if proc.returncode == 0 and parsed and parsed.get("value") is not None:
+            parsed["attempts"] = attempt
+            print(json.dumps(parsed), flush=True)
+            return 0
+        last_err = (parsed or {}).get(
+            "error", f"worker exited rc={proc.returncode} with no JSON")
+        last_stage = (parsed or {}).get("stage") or file_stage or "unknown"
+        if timed_out:
+            last_err = (f"bench deadline ({deadline:.0f}s) hit at stage "
+                        f"'{last_stage}': {last_err}")
+            stage(last_err)
+            break  # a hang means a wedged tunnel; retries cannot help
+        stage(f"attempt {attempt} failed at '{last_stage}': "
+              f"{last_err[:300]}")
+        if not _retriable(last_err):
+            break
+        backoff = min(15.0 * (2 ** (attempt - 1)),
+                      deadline - (time.monotonic() - t_start) - reserve - 30)
+        if backoff > 0 and attempt < attempts_max:
+            stage(f"backing off {backoff:.0f}s before retry")
+            time.sleep(backoff)
+
+    print(json.dumps(_error_result(
+        mode, last_err[:2000], last_stage, attempt)), flush=True)
+    return 1
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:]]
+    worker = "--worker" in argv
+    if worker:
+        argv.remove("--worker")
+    mode = os.environ.get("BENCH_MODE", "retrieval")
+    if argv:
+        mode = argv[0]
+    if mode not in _RUNNERS:
+        print(json.dumps(_error_result(
+            mode, f"unknown bench mode '{mode}'", "startup", 0)),
+            flush=True)
+        return 2
+    if worker:
+        return _worker(mode)
+    return _parent(mode)
 
 
 if __name__ == "__main__":
-    _mode = os.environ.get("BENCH_MODE", "retrieval")
-    if len(sys.argv) > 1:
-        _mode = sys.argv[1]
-    if _mode == "caption":
-        main_caption()
-    elif _mode == "decode":
-        main_decode()
-    else:
-        main()
+    sys.exit(main())

@@ -3,7 +3,14 @@ Text preprocessing pipelines for feature extraction.
 
 Behavioral port of reference nntrainer/data_text.py:14-130: named pipelines
 (bert_paper, bert_new, gpt2, simple, nothing, with_dots) doing sentence
-cleanup, dot handling, capitalization and [CLS]/[SEP] insertion.
+cleanup, dot handling, capitalization and [CLS]/[SEP] insertion. Golden
+outputs are pinned by tests/test_utils_parity.py::test_text_preprocessing.
+
+Implementation notes (differences from the reference that only show up on
+pathological input): the reference's inner-sentence recapitalization scan
+can run off the end of the string (IndexError) when no alphanumeric char
+follows the first sentence break; this version simply leaves such a
+sentence unchanged.
 """
 
 from __future__ import annotations
@@ -14,7 +21,7 @@ from typing import Callable, List, Optional
 
 from coot_videotext_tpu.typext import ConstantHolder
 
-RE_WHITESPACES = re.compile(r"\s+")
+_SPACES = re.compile(r"\s+")
 
 
 class TextPreprocessing(ConstantHolder):
@@ -29,24 +36,51 @@ class TextPreprocessing(ConstantHolder):
 
 def get_text_preprocessor(func: str) -> Callable[[List[str]], List[str]]:
     """Pipeline factory (reference :26)."""
-    if func == TextPreprocessing.BERT_PAPER:
-        return partial(preprocess_paragraph, begin_paragraph_token="[CLS]",
-                       end_sentence_token="[SEP]", remove_ending_dot=True,
-                       replace_inside_dots=True, capitalize=False)
-    if func == TextPreprocessing.BERT_NEW:
-        return partial(preprocess_paragraph, begin_paragraph_token="[CLS]",
-                       end_sentence_token="[SEP]", remove_ending_dot=True,
-                       replace_inside_dots=True)
-    if func == TextPreprocessing.GPT2:
-        return partial(preprocess_paragraph, add_space_before_token=False)
-    if func == TextPreprocessing.SIMPLE:
-        return preprocess_paragraph
-    if func == TextPreprocessing.NOTHING:
-        return partial(preprocess_paragraph, capitalize=False)
-    if func == TextPreprocessing.WITH_DOTS:
-        return partial(preprocess_paragraph, remove_ending_dot=True,
-                       replace_inside_dots=True, capitalize=False)
-    raise NotImplementedError(f"Text Processing '{func}' unknown")
+    presets = {
+        TextPreprocessing.BERT_PAPER: dict(
+            begin_paragraph_token="[CLS]", end_sentence_token="[SEP]",
+            remove_ending_dot=True, replace_inside_dots=True,
+            capitalize=False),
+        TextPreprocessing.BERT_NEW: dict(
+            begin_paragraph_token="[CLS]", end_sentence_token="[SEP]",
+            remove_ending_dot=True, replace_inside_dots=True),
+        TextPreprocessing.GPT2: dict(add_space_before_token=False),
+        TextPreprocessing.SIMPLE: {},
+        TextPreprocessing.NOTHING: dict(capitalize=False),
+        TextPreprocessing.WITH_DOTS: dict(
+            remove_ending_dot=True, replace_inside_dots=True,
+            capitalize=False),
+    }
+    try:
+        kwargs = presets[func]
+    except KeyError:
+        raise NotImplementedError(f"Text Processing '{func}' unknown")
+    return partial(preprocess_paragraph, **kwargs)
+
+
+def _fix_trailing_dot(sentence: str, remove: bool) -> str:
+    """Either strip a single trailing '.' (keeping '..'/'...'), or make
+    sure the sentence ends with one."""
+    if remove:
+        if sentence.endswith(".") and not sentence.endswith(".."):
+            if len(sentence) > 1:
+                sentence = sentence[:-1]
+        return sentence
+    return sentence if sentence.endswith(".") else sentence + "."
+
+
+def _capitalize_second_sentence(sentence: str) -> str:
+    """str.capitalize() lowercases everything past the first char, so a
+    two-sentence string loses its second capital. Re-capitalize from the
+    first alphanumeric char after the first '. ' break (reference :86-96,
+    which only ever treats the first break)."""
+    dot = sentence.find(". ")
+    if dot < 0:
+        return sentence
+    for pos in range(dot + 1, len(sentence)):
+        if sentence[pos].isalnum():
+            return sentence[:pos] + sentence[pos:].capitalize()
+    return sentence
 
 
 def preprocess_paragraph(
@@ -60,61 +94,38 @@ def preprocess_paragraph(
         replace_inside_dots: bool = False,
         capitalize: bool = True) -> List[str]:
     """Preprocess a list of sentences (reference :56)."""
-    new_paragraph = []
-    space_before_token = " " if add_space_before_token else ""
+    # token pair spliced in at inner sentence breaks, e.g. "[EOS] [BOS]";
+    # an end-only pipeline yields "END", begin-only "BEGIN"
+    break_tokens = " ".join(
+        tok for tok in (end_sentence_token, begin_sentence_token)
+        if tok is not None) or None
+    end_gap = " " if add_space_before_token else ""
 
-    between_sentence_token = None
-    if end_sentence_token is not None or begin_sentence_token is not None:
-        between_sentence_token = (
-            f"{'' if end_sentence_token is None else f'{end_sentence_token} '}"
-            f"{'' if begin_sentence_token is None else f'{begin_sentence_token}'}")
-
-    for num_sentence, sentence in enumerate(paragraph):
-        sentence = RE_WHITESPACES.sub(" ", sentence).strip()
-        assert len(sentence) > 0
-        if remove_ending_dot:
-            if (sentence[-1] == "." and len(sentence) > 1
-                    and sentence[-2] != "."):
-                sentence = sentence[:-1]
-        else:
-            if sentence[-1] != ".":
-                sentence += "."
+    processed = []
+    last = len(paragraph) - 1
+    for idx, sentence in enumerate(paragraph):
+        sentence = _SPACES.sub(" ", sentence).strip()
+        if not sentence:
+            raise ValueError(
+                f"Empty sentence at position {idx} of paragraph")
+        sentence = _fix_trailing_dot(sentence, remove_ending_dot)
         if capitalize:
-            sentence = sentence.capitalize()
-        sentence = sentence.strip()
-
-        if capitalize:
-            find_pos = sentence.find(". ")
-            if find_pos > -1:
-                while True:
-                    if find_pos > len(sentence):
-                        break
-                    find_pos += 1
-                    if sentence[find_pos].isalnum():
-                        sentence = (sentence[:find_pos]
-                                    + sentence[find_pos:].capitalize())
-                        break
-
-        if replace_inside_dots and between_sentence_token is not None:
+            sentence = _capitalize_second_sentence(
+                sentence.capitalize().strip())
+        if replace_inside_dots and break_tokens is not None:
+            kept_dot = "" if remove_ending_dot else "."
             sentence = sentence.replace(
-                ". ",
-                f"{'' if remove_ending_dot else '.'} "
-                f"{between_sentence_token} ")
+                ". ", f"{kept_dot} {break_tokens} ")
 
-        new_words = []
-        if begin_paragraph_token is not None and num_sentence == 0:
-            new_words.append(begin_paragraph_token)
-        if begin_sentence_token is not None:
-            new_words.append(begin_sentence_token)
-        for word in sentence.split(" "):
-            word = word.strip()
-            if word == "":
-                continue
-            new_words.append(f" {word}")
-        if end_sentence_token is not None:
-            new_words.append(f"{space_before_token}{end_sentence_token}")
-        if (end_paragraph_token is not None
-                and num_sentence == len(paragraph) - 1):
-            new_words.append(f"{space_before_token}{end_paragraph_token}")
-        new_paragraph.append("".join(new_words).strip())
-    return new_paragraph
+        prefix = "".join(
+            tok for tok in (
+                begin_paragraph_token if idx == 0 else None,
+                begin_sentence_token) if tok is not None)
+        suffix = "".join(
+            f"{end_gap}{tok}" for tok in (
+                end_sentence_token,
+                end_paragraph_token if idx == last else None)
+            if tok is not None)
+        words = " ".join(w for w in sentence.split(" ") if w)
+        processed.append(f"{prefix} {words}{suffix}".strip())
+    return processed

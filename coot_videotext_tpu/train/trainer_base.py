@@ -107,33 +107,11 @@ class BaseTrainer:
         yaml_utils.dump_yaml_config_file(
             self.exp.path_base / "config.yaml", self.cfg.config_orig)
 
-        # checkpoint auto-load decision (reference :144-176)
-        ep_nums = self.exp.get_existing_checkpoints()
-        self.load = False
-        self.load_ep = -1
+        # checkpoint auto-load decision (same contract as reference
+        # :144-176: explicit file > requested epoch > best > last > fresh)
         self.load_model = load_model
-        if self.load_model:
-            assert not load_epoch, (
-                "When given filepath with load_model, --load_epoch must "
-                "not be set.")
-            self.load = True
-        elif len(ep_nums) > 0:
-            if load_epoch:
-                assert not load_best, (
-                    "load_epoch and load_best cannot both be set.")
-                self.load_ep = load_epoch
-                self.load = True
-            elif load_best:
-                best_ep = self.exp.find_best_epoch()
-                self.load_ep = best_ep if best_ep != -1 else ep_nums[-1]
-                self.logger.info(f"Best ckpt to load: {self.load_ep}")
-                self.load = True
-            else:
-                self.load_ep = ep_nums[-1]
-                self.logger.info(f"Last ckpt to load: {self.load_ep}")
-                self.load = True
-        else:
-            self.logger.info("No checkpoints found, starting from scratch.")
+        self.load, self.load_ep = self._resolve_auto_load(
+            load_epoch, load_best)
 
         # default meters (reference :179-201)
         self.metrics.add_meter(Metrics.TRAIN_EPOCH, use_avg=False)
@@ -173,6 +151,40 @@ class BaseTrainer:
         self.timer_val_epoch: float = 0
         self.timedelta_step_forward: float = 0
         self.timedelta_step_backward: float = 0
+
+    def _resolve_auto_load(self, load_epoch, load_best):
+        """Decide what (if anything) hook_post_init should restore.
+
+        Returns ``(load, epoch)``: ``epoch == -1`` with ``load`` True means
+        "warmstart from the self.load_model file". Priority matches the
+        reference (trainer_base.py:144-176): an explicit model file beats
+        everything, then a requested epoch, then the best validated epoch
+        (falling back to the newest when no validation ran), then the
+        newest checkpoint; a fresh experiment starts from scratch.
+        """
+        if self.load_model:
+            if load_epoch:
+                raise ValueError(
+                    "--load_model warmstarts from a file; it cannot be "
+                    "combined with --load_epoch.")
+            return True, -1
+        known = self.exp.get_existing_checkpoints()
+        if not known:
+            self.logger.info("No checkpoints found, starting from scratch.")
+            return False, -1
+        if load_epoch:
+            if load_best:
+                raise ValueError(
+                    "--load_epoch and --load_best are mutually exclusive.")
+            return True, load_epoch
+        if load_best:
+            epoch = self.exp.find_best_epoch()
+            if epoch == -1:
+                epoch = known[-1]  # nothing validated yet: newest wins
+            self.logger.info(f"Best ckpt to load: {epoch}")
+            return True, epoch
+        self.logger.info(f"Last ckpt to load: {known[-1]}")
+        return True, known[-1]
 
     # ---------- must override ----------
 
