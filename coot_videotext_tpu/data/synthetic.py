@@ -54,8 +54,12 @@ def generate_retrieval_dataset(
     path = Path(root) / dataset_name
     path.mkdir(parents=True, exist_ok=True)
 
-    shared_proj_v = rng.randn(16, vid_feat_dim).astype(np.float32) / 4
-    shared_proj_t = rng.randn(16, text_feat_dim).astype(np.float32) / 4
+    # drawn only in shared mode so shared_projections=False reproduces the
+    # pre-round-2 RNG stream byte-for-byte at a given seed
+    shared_proj_v = shared_proj_t = None
+    if shared_projections:
+        shared_proj_v = rng.randn(16, vid_feat_dim).astype(np.float32) / 4
+        shared_proj_t = rng.randn(16, text_feat_dim).astype(np.float32) / 4
 
     total = num_videos + num_val_videos
     meta = {}

@@ -22,12 +22,30 @@ from coot_videotext_tpu.models.caption.mart import (
 
 
 def load_glove_matrix(cache_dir: str, dataset_name: str) -> np.ndarray:
-    """Load `<dset>_vocab_glove.pt` (a torch-saved float array)."""
+    """Load `<dset>_vocab_glove.pt` (a torch-saved float array).
+
+    The reference's released cache is a legacy numpy pickle; rather than
+    full pickle deserialization (arbitrary code execution if the asset is
+    ever swapped) only the exact numpy constructors it needs are
+    allowlisted under weights_only=True. The pickled module path is the
+    pre-numpy-2 "numpy.core.…", so the callable is registered under that
+    historical name explicitly.
+    """
     import torch
     path = Path(cache_dir) / f"{dataset_name}_vocab_glove.pt"
-    # weights_only=False: the reference's released cache is a legacy
-    # pickled array (in-repo, trusted), rejected by torch>=2.6 defaults
-    arr = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        from numpy._core import multiarray as _multiarray
+    except ImportError:  # numpy < 2
+        from numpy.core import multiarray as _multiarray
+    safe = [(_multiarray._reconstruct, "numpy.core.multiarray._reconstruct"),
+            np.ndarray, np.dtype]
+    try:
+        from numpy import dtypes as _np_dtypes
+        safe += [_np_dtypes.Float32DType, _np_dtypes.Float64DType]
+    except ImportError:
+        pass
+    with torch.serialization.safe_globals(safe):
+        arr = torch.load(str(path), map_location="cpu", weights_only=True)
     if hasattr(arr, "numpy"):
         arr = arr.numpy()
     return np.asarray(arr, np.float32)

@@ -282,9 +282,14 @@ class RetrievalTrainer(BaseTrainer):
             metrics = jax.device_get(metrics)
             self.hook_post_forward_step_timer()
             # attribute the group wall-clock evenly across its steps so
-            # the time meters keep per-step semantics
+            # the time meters keep per-step semantics (both the forward
+            # slice and TIME_STEP_TOTAL, which hook_post_step derives from
+            # self.timer_step — without the rebase below the whole group
+            # would be booked to its first step and ~0 to the rest)
             self.timedelta_step_forward /= kk
+            group_time = timer() - self.timer_step
             for i in range(kk):
+                self.timer_step = timer() - group_time / kk
                 self.metrics.update_meter(
                     CMeters.TRAIN_LOSS_CONTRASTIVE,
                     float(metrics["loss_contrastive"][i]))
