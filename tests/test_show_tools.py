@@ -15,11 +15,12 @@ from coot_videotext_tpu.utils.view_results import (
     average_results_data, collect_results_data, match_folder,
     output_results)
 
-REFERENCE_EXPERIMENTS = Path("/root/reference/provided_experiments")
+# the reference's published run metrics are vendored in-repo (45 tiny
+# json/yaml files) so the README-table reproduction works standalone
+REFERENCE_EXPERIMENTS = (Path(__file__).resolve().parent / "fixtures"
+                         / "provided_experiments")
 
 
-@pytest.mark.skipif(not REFERENCE_EXPERIMENTS.is_dir(),
-                    reason="reference repo not mounted")
 def test_reference_provided_experiments_readme_table():
     """Reproduce the reference README numbers from its own metric files
     (README.md:156-158)."""
