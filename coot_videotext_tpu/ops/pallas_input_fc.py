@@ -223,7 +223,8 @@ def fused_input_fc(x: jnp.ndarray, gain: jnp.ndarray, bias: jnp.ndarray,
     return _fwd_call(x, gain, bias, w, b, eps, act, need_pre=False)[0]
 
 
-def _fwd_call(x, gain, bias, w, b, eps, act, need_pre=True):
+def _fwd_call(x, gain, bias, w, b, eps, act, need_pre=True,
+              interpret=False):
     s, din = x.shape
     dout = w.shape[1]
     bs = _pick_block_rows(s, din, dout, x.dtype.itemsize, bwd=False)
@@ -259,6 +260,7 @@ def _fwd_call(x, gain, bias, w, b, eps, act, need_pre=True):
             transcendentals=s * dout,
             bytes_accessed=(x.dtype.itemsize * s * din
                             + 4 * 2 * s * dout)),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(x, gain, bias, w_c, b)
     return out if need_pre else (out[0], None)
 
@@ -270,6 +272,10 @@ def _vjp_fwd(x, gain, bias, w, b, eps, act):
 
 def _vjp_bwd(eps, act, res, dy):
     x, gain, bias, w, pre = res
+    return _bwd_call(x, gain, bias, w, pre, dy, eps, act)
+
+
+def _bwd_call(x, gain, bias, w, pre, dy, eps, act, interpret=False):
     s, din = x.shape
     dout = w.shape[1]
     bs = _pick_block_rows(s, din, dout, x.dtype.itemsize, bwd=True)
@@ -309,6 +315,7 @@ def _vjp_bwd(eps, act, res, dy):
             transcendentals=s * dout,
             bytes_accessed=(x.dtype.itemsize * s * din
                             + 4 * 2 * s * dout)),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(x, gain, bias, w_c, pre, dy)
     return (jnp.zeros_like(x), dgain.reshape(din), dbias.reshape(din),
             dw, db.reshape(dout))

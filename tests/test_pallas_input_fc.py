@@ -1,16 +1,15 @@
 """
 Fused input-projection op (ops/pallas_input_fc.py) tests.
 
-The conftest pins tests to the CPU backend, where the pallas kernel is
-unavailable — these tests cover the pure-function reference numerics, the
-structural gating, and the parameter-tree identity between the fused and
-unfused module paths. Kernel-vs-reference numerics are asserted in the
-TPU-gated test at the bottom (skipped on CPU; exercised on real hardware
-by tools/ scripts and the bench).
+The conftest pins tests to the CPU backend, where the compiled pallas
+kernel is unavailable — there the fwd/bwd kernel tests run the REAL
+kernel logic under the pallas TPU interpret machine (like
+test_pallas_gather.py), so nothing in this file ever skips; on a real
+chip the same tests compile. Reference-vs-module numerics, structural
+gating, and parameter-tree identity are covered backend-independently.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -139,41 +138,75 @@ def test_param_tree_paths_match_unfused():
         sp["input_fc"]["fc_0"]["kernel"].shape
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu",
-                    reason="pallas TPU kernel")
-def test_fused_kernel_matches_reference_tpu():
-    from coot_videotext_tpu.ops.pallas_input_fc import fused_input_fc
+def test_fwd_kernel_matches_reference():
+    """Real kernel logic vs the XLA reference. On CPU the kernel runs
+    under the pallas TPU interpret machine (no skip); on a real chip the
+    same call compiles — so this test covers the kernel everywhere."""
+    from coot_videotext_tpu.ops.pallas_input_fc import (
+        _fwd_call, fused_input_fc)
+    on_tpu = jax.default_backend() == "tpu"
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(512, 1536), jnp.bfloat16)
-    gain = jnp.asarray(rng.rand(1536) + 0.5, jnp.float32)
-    bias = jnp.asarray(rng.randn(1536) * 0.1, jnp.float32)
-    w = jnp.asarray(rng.randn(1536, 384) * 0.02, jnp.float32)
-    b = jnp.asarray(rng.randn(384) * 0.01, jnp.float32)
-    yk = np.asarray(jax.jit(lambda *a: fused_input_fc(*a, 1e-6, "gelu"))(
-        x, gain, bias, w, b), np.float32)
+    # small-ish shape so interpret mode stays fast; still 128-aligned
+    x = jnp.asarray(rng.randn(128, 256), jnp.bfloat16)
+    gain = jnp.asarray(rng.rand(256) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(256) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.randn(256, 128) * 0.02, jnp.float32)
+    b = jnp.asarray(rng.randn(128) * 0.01, jnp.float32)
+    if on_tpu:
+        yk = jax.jit(lambda *a: fused_input_fc(*a, 1e-6, "gelu"))(
+            x, gain, bias, w, b)
+    else:
+        yk, _ = _fwd_call(x, gain, bias, w, b, 1e-6, "gelu",
+                          need_pre=False, interpret=True)
     yr = np.asarray(fused_input_fc_reference(x, gain, bias, w, b, 1e-6,
                                              "gelu"), np.float32)
     scale = max(np.abs(yr).max(), 1e-6)
-    assert np.abs(yk - yr).max() / scale < 5e-3  # one bf16 ulp
+    assert np.abs(np.asarray(yk, np.float32) - yr).max() / scale < 5e-3
 
-    # backward, incl. the bf16 din=4096 shape whose bwd kernel once blew
-    # the 16M scoped-vmem limit (regression: accumulate into out refs)
-    for dtype, s, din, dout in ((jnp.float32, 512, 1536, 384),
-                                (jnp.bfloat16, 5120, 4096, 384)):
+    # the pre-activation residual path (backward's input) too
+    ym, pre = _fwd_call(x, gain, bias, w, b, 1e-6, "gelu", need_pre=True,
+                        interpret=not on_tpu)
+    np.testing.assert_array_equal(np.asarray(ym, np.float32),
+                                  np.asarray(yk, np.float32))
+    assert pre.dtype == jnp.float32 and pre.shape == (128, 128)
+
+
+def test_bwd_kernel_matches_reference_grads():
+    """Backward kernel (interpret on CPU / compiled on TPU) vs autodiff
+    through the XLA reference — all four parameter cotangents."""
+    from coot_videotext_tpu.ops.pallas_input_fc import (
+        _bwd_call, _fwd_call)
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.RandomState(1)
+    shapes = [(jnp.float32, 128, 256, 128)]
+    if on_tpu:
+        # the bf16 din=4096 shape whose bwd kernel once blew the 16M
+        # scoped-vmem limit (regression: accumulate into out refs) —
+        # too slow for the CPU interpreter, exercised compiled only
+        shapes.append((jnp.bfloat16, 5120, 4096, 384))
+    for dtype, s, din, dout in shapes:
         x2 = jnp.asarray(rng.randn(s, din), dtype)
         gain2 = jnp.asarray(1 + 0.1 * rng.randn(din), jnp.float32)
         bias2 = jnp.asarray(0.1 * rng.randn(din), jnp.float32)
         w2 = jnp.asarray(0.05 * rng.randn(din, dout), jnp.float32)
         b2 = jnp.asarray(0.1 * rng.randn(dout), jnp.float32)
 
-        def loss_of(fn):
-            return lambda g, bi, ww, bb: jnp.sum(jnp.square(
-                fn(x2, g, bi, ww, bb, 1e-6, "gelu").astype(jnp.float32)))
+        def loss(g, bi, ww, bb):
+            y = fused_input_fc_reference(x2, g, bi, ww, bb, 1e-6, "gelu")
+            return jnp.sum(jnp.square(y.astype(jnp.float32)))
 
-        gk = jax.jit(jax.grad(loss_of(fused_input_fc),
-                              argnums=(0, 1, 2, 3)))(gain2, bias2, w2, b2)
-        gr = jax.jit(jax.grad(loss_of(fused_input_fc_reference),
-                              argnums=(0, 1, 2, 3)))(gain2, bias2, w2, b2)
+        gr = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+            gain2, bias2, w2, b2)
+
+        _, pre = _fwd_call(x2, gain2, bias2, w2, b2, 1e-6, "gelu",
+                           need_pre=True, interpret=not on_tpu)
+        y = fused_input_fc_reference(x2, gain2, bias2, w2, b2, 1e-6,
+                                     "gelu")
+        dy = (2.0 * y.astype(jnp.float32)).astype(x2.dtype)
+        _, dgain, dbias, dw, db = _bwd_call(
+            x2, gain2, bias2, w2, pre, dy, 1e-6, "gelu",
+            interpret=not on_tpu)
+        gk = (dgain, dbias, dw, db)
         for name, a, b_ in zip(("dgain", "dbias", "dw", "db"), gk, gr):
             sc = max(float(jnp.abs(b_).max()), 1e-6)
             err = float(jnp.abs(a - b_).max()) / sc
