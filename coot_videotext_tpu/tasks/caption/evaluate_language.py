@@ -11,6 +11,7 @@ unavailable/crashed -> score -999, evaluation continues).
 from __future__ import annotations
 
 import json
+import os
 import re
 from pathlib import Path
 from typing import List, Optional, Union
@@ -21,6 +22,7 @@ from coot_videotext_tpu.tasks.caption.metrics.bleu import Bleu
 from coot_videotext_tpu.tasks.caption.metrics.cider import Cider
 from coot_videotext_tpu.tasks.caption.metrics.meteor import (
     Meteor, make_meteor)
+from coot_videotext_tpu.tasks.caption.metrics.meteor_lite import MeteorLite
 from coot_videotext_tpu.tasks.caption.metrics.rouge import Rouge
 
 
@@ -46,9 +48,20 @@ class CaptionEvaluator:
             ground_truth_filenames)
         self.prediction = self.import_prediction(prediction_filename)
 
+        # Primary: the reference's METEOR 1.5 jar. Fallback when no
+        # JVM/jar exists: the hermetic METEOR-lite (metrics/meteor_lite
+        # .py). COOT_METEOR_LITE=0 disables the fallback and restores
+        # the reference's strict crashed-scorer semantics (-999).
         met = make_meteor()
         if met is None:
-            print("Meteor couldn't start (no java/jar); scoring -999.")
+            if os.environ.get("COOT_METEOR_LITE", "1") != "0":
+                met = MeteorLite()
+                print("Meteor jar unavailable; scoring with the "
+                      "hermetic METEOR-lite (COOT_METEOR_LITE=0 for "
+                      "the reference's -999 semantics).")
+            else:
+                print("Meteor couldn't start (no java/jar); "
+                      "scoring -999.")
         if self.verbose or self.all_scorer:
             self.scorers = [
                 (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
