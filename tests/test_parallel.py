@@ -64,7 +64,8 @@ def test_tp_train_step_matches_dp(setup):
     rng = jax.random.PRNGKey(0)
     results = {}
     for name, mesh_shape in (("dp", {"data": 8}),
-                             ("dp_tp", {"data": 4, "model": 2})):
+                             ("dp_tp", {"data": 4, "model": 2}),
+                             ("dp2_tp4", {"data": 2, "model": 4})):
         mesh = get_mesh(mesh_shape)
         st, st_sh = shard_state_for_tp(state, mesh)
         step = make_retrieval_train_step(
@@ -80,11 +81,84 @@ def test_tp_train_step_matches_dp(setup):
                                   meta.tables)
         results[name] = (float(metrics["loss_total"]),
                          jax.device_get(new_state.params))
-    assert np.isclose(results["dp"][0], results["dp_tp"][0], rtol=1e-4)
-    for a, b in zip(jax.tree_util.tree_leaves(results["dp"][1]),
-                    jax.tree_util.tree_leaves(results["dp_tp"][1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-4)
+    for other in ("dp_tp", "dp2_tp4"):
+        assert np.isclose(results["dp"][0], results[other][0], rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(results["dp"][1]),
+                       jax.tree_util.tree_leaves(results[other][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
+
+def test_tp_checkpoint_roundtrip(setup, tmp_path):
+    """Train a step under dp2 x tp4, save (orbax), restore into FRESHLY
+    placed shardings, and continue — the continuation must be
+    bit-identical to the uninterrupted run (TP-sharded resume contract;
+    reference trainer_base.py:672-716 resume semantics under sharding)."""
+    from coot_videotext_tpu.train.checkpoint import (
+        restore_pytree, save_pytree)
+
+    cfg, mgr, opt, state, train_loader = setup
+    store = train_loader.device_store
+    meta = train_loader.device_meta
+    sampling = {"shapes": meta.shapes, "max_frames": meta.max_frames}
+    lw = cfg.train.contrastive_loss_config.as_dict()
+    batch = {"dp_idx": jnp.arange(8, dtype=jnp.int32),
+             "batch_valid": jnp.ones(8, bool)}
+    rng = jax.random.PRNGKey(5)
+
+    mesh = get_mesh({"data": 2, "model": 4})
+    st, st_sh = shard_state_for_tp(state, mesh)
+    step = make_retrieval_train_step(
+        mgr.model_train, opt, loss_weights=lw,
+        margin=cfg.train.contrastive_loss_config.margin,
+        loss_cycle_cons=cfg.train.loss_cycle_cons,
+        clip_gradient=-1, mesh=mesh, use_store=True,
+        device_sampling=sampling, state_shardings=st_sh)
+    b = {k: jax.device_put(v, batch_sharding(mesh))
+         for k, v in batch.items()}
+    st1, _ = step(st, b, jnp.float32(1e-3), rng,
+                  store.vid_store, store.text_store, meta.tables)
+
+    # save the tp-sharded state (save_pytree device_gets, so sharded
+    # leaves are materialized to full host arrays)
+    ckpt = tmp_path / "tp_ckpt"
+    save_pytree(ckpt, st1)
+
+    # restore into a fresh template and NEWLY placed shardings
+    fresh = TrainState(mgr.init_params(1),
+                       opt.init(mgr.init_params(1)), jnp.int32(0))
+    restored_host = restore_pytree(ckpt, template=fresh)
+    mesh2 = get_mesh({"data": 2, "model": 4})
+    st2, st_sh2 = shard_state_for_tp(restored_host, mesh2)
+    for leaf, leaf_sh in zip(jax.tree_util.tree_leaves(st2.params),
+                             jax.tree_util.tree_leaves(
+                                 st_sh2.params,
+                                 is_leaf=lambda x: hasattr(x, "spec"))):
+        assert leaf.sharding == leaf_sh
+    # round-trip fidelity: restored == saved, leaf for leaf
+    for a, b_ in zip(jax.tree_util.tree_leaves(jax.device_get(st1)),
+                     jax.tree_util.tree_leaves(jax.device_get(st2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # continue one more step from both: bit-identical continuation
+    rng2 = jax.random.PRNGKey(6)
+    step2 = make_retrieval_train_step(
+        mgr.model_train, opt, loss_weights=lw,
+        margin=cfg.train.contrastive_loss_config.margin,
+        loss_cycle_cons=cfg.train.loss_cycle_cons,
+        clip_gradient=-1, mesh=mesh2, use_store=True,
+        device_sampling=sampling, state_shardings=st_sh2)
+    cont_a, ma = step(st1, b, jnp.float32(1e-3), rng2,
+                      store.vid_store, store.text_store, meta.tables)
+    cont_b, mb = step2(st2, b, jnp.float32(1e-3), rng2,
+                       store.vid_store, store.text_store, meta.tables)
+    assert float(ma["loss_total"]) == float(mb["loss_total"])
+    for a, b_ in zip(jax.tree_util.tree_leaves(
+                         jax.device_get(cont_a.params)),
+                     jax.tree_util.tree_leaves(
+                         jax.device_get(cont_b.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert int(cont_b.step) == 2
 
 
 def test_scan_fused_steps_match_sequential(setup):
