@@ -33,7 +33,8 @@ def generate_retrieval_dataset(
         mean_duration_sec: float = 120.0,
         tokens_per_sentence: int = 12,
         seed: int = 0,
-        shared_projections: bool = True) -> Dict[str, str]:
+        shared_projections: bool = True,
+        signal_scale: float = 1.0) -> Dict[str, str]:
     """
     Create a complete synthetic retrieval dataset under root/<dataset_name>/.
     Paired video clips and sentences share a latent vector so retrieval
@@ -47,6 +48,13 @@ def generate_retrieval_dataset(
     projections: features still carry per-clip latent structure, but
     cross-modal val retrieval is information-theoretically stuck at
     chance, which silently hides quality regressions.
+
+    signal_scale: multiplies the latent contribution added on top of the
+    unit-variance feature noise (per-coordinate signal variance ~=
+    signal_scale^2). 1.0 (default, stream/byte-identical to earlier
+    datasets) saturates R@1 on small val sets; lower it to hold val
+    retrieval in the mid-range so quality deltas are visible — used by
+    the reference-scale A/B dataset (data_gen_yc2big.py).
 
     Returns a dict of config overrides for RetrievalDatasetConfig.
     """
@@ -95,14 +103,14 @@ def generate_retrieval_dataset(
         text_rows = []
         for c in range(n_clips):
             s, e = int(seg_starts[c]), int(seg_stops[c])
-            vid_feat[s:e] += latents[c] @ proj_v
+            vid_feat[s:e] += signal_scale * (latents[c] @ proj_v)
             t0, t1 = s / fps, e / fps
             segments.append({
                 "text": f"synthetic sentence {i} {c} doing things.",
                 "start_sec": float(t0), "stop_sec": float(t1)})
             n_tok = tokens_per_sentence
             rows = rng.randn(n_tok, text_feat_dim).astype(np.float32)
-            rows += latents[c] @ proj_t
+            rows += signal_scale * (latents[c] @ proj_t)
             text_rows.append(rows)
             splits.append(n_tok)
 
@@ -184,12 +192,28 @@ def generate_caption_dataset(
     trainer's export schema) under root/provided_embeddings/. Captions are
     drawn from a small vocabulary correlated with the clip latent so the
     model can learn.
+
+    Refuses to overwrite an annotations dir it did not create itself (a
+    `.synthetic` marker identifies generator output): with root="." and
+    the default dset_name this would silently clobber the REAL shipped
+    annotations/youcook2 files. Point root at a scratch dir (e.g.
+    data/capsmoke) and pass --annotations_dir/--coot_feat_dir to
+    train_caption.py instead.
     """
     rng = np.random.RandomState(seed)
     ann_dir = Path(root) / "annotations" / dset_name
     emb_dir = Path(root) / "provided_embeddings"
+    marker = ann_dir / ".synthetic"
+    if ann_dir.is_dir() and any(ann_dir.glob("captioning_*.json")) \
+            and not marker.exists():
+        raise RuntimeError(
+            f"{ann_dir} holds annotation files not written by this "
+            "generator (e.g. the real shipped youcook2 annotations); "
+            "refusing to overwrite. Use a scratch root directory.")
     ann_dir.mkdir(parents=True, exist_ok=True)
     emb_dir.mkdir(parents=True, exist_ok=True)
+    marker.write_text("generate_caption_dataset output\n",
+                      encoding="utf8")
 
     # one global latent->embedding map (like generate_retrieval_dataset's
     # shared_projections): with per-video projections the caption words,

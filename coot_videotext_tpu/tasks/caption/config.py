@@ -50,6 +50,13 @@ class MartConfig(trainer_configs.BaseExperimentConfig):
 
         self.save_mode: str = config.pop("save_mode")
         self.use_beam: bool = config.pop("use_beam")
+        # framework extension (not a reference key): decode beams with
+        # the reference's bit-exact beam semantics incl. its two decode
+        # bugs (translator.py translate_batch_beam docstring). Default
+        # False = the fixed beam — an intentional, documented divergence
+        # (PARITY.md §2.4); the beam A/B quantifies the difference.
+        self.beam_reference_compat: bool = config.pop(
+            "beam_reference_compat", False)
         self.beam_size: int = config.pop("beam_size")
         self.n_best: int = config.pop("n_best")
         self.min_sen_len: int = config.pop("min_sen_len")

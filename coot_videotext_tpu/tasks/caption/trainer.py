@@ -331,7 +331,8 @@ class MartTrainer(BaseTrainer):
                 model_inputs, use_beam=self.cfg.use_beam,
                 recurrent=self.cfg.recurrent,
                 untied=self.cfg.untied, xl=self.cfg.xl,
-                mtrans=self.cfg.mtrans)
+                mtrans=self.cfg.mtrans,
+                beam_reference_compat=self.cfg.beam_reference_compat)
 
             if self._recurrent:
                 for ex_idx, (step_size, cur_meta) in enumerate(

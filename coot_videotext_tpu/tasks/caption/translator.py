@@ -512,15 +512,19 @@ class Translator:
 
     def translate_batch(self, model_inputs, use_beam: bool = False,
                         recurrent: bool = True, untied: bool = False,
-                        xl: bool = False, mtrans: bool = False):
-        """Dispatch (reference :388)."""
+                        xl: bool = False, mtrans: bool = False,
+                        beam_reference_compat: bool = False):
+        """Dispatch (reference :388). beam_reference_compat forwards to
+        translate_batch_beam (bit-exact reference beam semantics incl.
+        its two decode bugs; see that method's docstring)."""
         if use_beam:
             assert recurrent and not xl, (
                 "beam search is wired for the recurrent MART model "
                 "(matching the reference's coverage)")
             input_ids, video_feats, input_masks, ttypes = model_inputs
             return self.translate_batch_beam(
-                input_ids, video_feats, input_masks, ttypes)
+                input_ids, video_feats, input_masks, ttypes,
+                reference_compat=beam_reference_compat)
         if recurrent:
             input_ids, video_feats, input_masks, ttypes = model_inputs
             if xl:

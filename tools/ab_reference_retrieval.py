@@ -58,13 +58,16 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=None,
                     help="override train.num_epochs")
     ap.add_argument("--seed", default="0")
+    ap.add_argument("--config", default="config/retrieval/ab/yc2like_ab.yaml",
+                    help="A/B yaml (repo-relative), e.g. the "
+                         "reference-scale config/retrieval/ab/yc2big_ab.yaml")
     args = ap.parse_args()
 
     install_shims()
     os.chdir(REPO)
     argv = [
         "train_retrieval.py",
-        "-c", os.path.join(REPO, "config/retrieval/ab/yc2like_ab.yaml"),
+        "-c", os.path.join(REPO, args.config),
         "--data_path", os.path.join(REPO, "data"),
         "--log_dir", os.path.join(REPO, "experiments_ref_ab"),
         "--workers", "0", "--seed", args.seed, "--reset",
