@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -102,6 +103,33 @@ class GenPool(nn.Module):
             w2_blk = w2_blk.at[hh * d_head:(hh + 1) * d_head,
                                hh * d_head_out:(hh + 1) * d_head_out].set(
                                    w2[hh])
+
+        # Opt-in fused Pallas kernel (ops/pallas_genpool.py): the whole
+        # MLP -> masked softmax -> weighted-sum subgraph in one VMEM
+        # pass. Gradients to the head-stacked params flow through the
+        # flat-layout constructions above (their VJPs are the transpose
+        # / block-diagonal extraction). Dropout uses the on-core
+        # hardware PRNG — same Bernoulli law, different stream than
+        # flax Dropout (documented in the kernel header).
+        from coot_videotext_tpu.ops.pallas_genpool import (
+            fused_genpool, fused_genpool_mode)
+        mode = fused_genpool_mode(
+            f.shape[0], f.shape[1], self.d_input,
+            self.num_heads * d_head, self.activation_cfg.name,
+            jnp.dtype(self.dtype).itemsize)
+        if mode is not None:
+            rate = float(self.dropout)
+            train = rate > 0 and not deterministic
+            if train:
+                key = self.make_rng("dropout")
+                seed = jax.random.key_data(key).reshape(-1)[-1:].astype(
+                    jnp.int32)
+            else:
+                seed = jnp.zeros(1, jnp.int32)
+            return fused_genpool(
+                f, mask, w1_flat, b1.reshape(-1), w2_blk, b2.reshape(-1),
+                seed, self.activation_cfg.name, rate, train,
+                mode == "interpret")
 
         # (B, L, H*d_head)
         h = mm("bld,dk->blk", f, w1_flat).astype(self.dtype)
