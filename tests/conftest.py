@@ -18,7 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# COOT_TPU_TESTS=1 leaves the default (real-chip) platform so the
+# hardware-only tests (on-core PRNG paths) run; everything else pins cpu
+if os.environ.get("COOT_TPU_TESTS", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache (shared with bench.py's .jax_cache):
 # repeated suite runs skip every unchanged jit compile, and duplicate

@@ -81,8 +81,11 @@ def test_fwd_matches_genpool_module():
     out = _fwd_call(f, mask, w1f, b1f, w2f, b2f,
                     jnp.zeros(1, jnp.int32), "gelu", 0.0, False,
                     interpret=INTERP)
+    # 1e-4: on-chip, XLA's einsum and the kernel's dot_general take
+    # different f32-via-bf16 matmul pass structures — last-ulp scatter
+    # (observed max 6.4e-5 on v5e); real wiring bugs are O(1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(mod),
-                               rtol=3e-5, atol=3e-5)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_bwd_matches_autodiff_deterministic():

@@ -36,6 +36,8 @@ def install_shims() -> None:
     for fake in ("GPUtil", "pathspec"):
         if fake not in sys.modules:
             sys.modules[fake] = types.ModuleType(fake)
+    if not hasattr(sys.modules["GPUtil"], "getGPUs"):
+        sys.modules["GPUtil"].getGPUs = lambda: []
     if not hasattr(sys.modules["pathspec"], "PathSpec"):
         sys.modules["pathspec"].PathSpec = type("PathSpec", (), {})
     sys.path.insert(0, REF)

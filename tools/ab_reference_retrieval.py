@@ -33,6 +33,10 @@ def install_shims() -> None:
             sys.modules[fake] = types.ModuleType(fake)
     if not hasattr(sys.modules["pathspec"], "PathSpec"):
         sys.modules["pathspec"].PathSpec = type("PathSpec", (), {})
+    # the reference's per-N-steps profiling calls GPUtil.getGPUs()
+    # (nntrainer/utils_torch.py:164); zero GPUs is handled fine there
+    if not hasattr(sys.modules["GPUtil"], "getGPUs"):
+        sys.modules["GPUtil"].getGPUs = lambda: []
     sys.path.insert(0, REF)
 
     # the reference's own train_retrieval.py:50 calls
@@ -61,6 +65,10 @@ def main() -> None:
     ap.add_argument("--config", default="config/retrieval/ab/yc2like_ab.yaml",
                     help="A/B yaml (repo-relative), e.g. the "
                          "reference-scale config/retrieval/ab/yc2big_ab.yaml")
+    ap.add_argument("--resume", action="store_true",
+                    help="drop --reset so the reference trainer auto-"
+                         "resumes from the run's last checkpoint (long "
+                         "reference-scale runs span driver rounds)")
     args = ap.parse_args()
 
     install_shims()
@@ -70,9 +78,11 @@ def main() -> None:
         "-c", os.path.join(REPO, args.config),
         "--data_path", os.path.join(REPO, "data"),
         "--log_dir", os.path.join(REPO, "experiments_ref_ab"),
-        "--workers", "0", "--seed", args.seed, "--reset",
+        "--workers", "0", "--seed", args.seed,
         "--run_name", args.run,
     ]
+    if not args.resume:
+        argv.append("--reset")
     if args.epochs is not None:
         argv += ["-o", f"train.num_epochs={args.epochs}"]
     sys.argv = argv

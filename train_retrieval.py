@@ -41,6 +41,12 @@ def main():
     arguments.add_dataset_test_arg(parser)
     parser.add_argument("--preload", action="store_true",
                         help="Preload video and text features into RAM.")
+    parser.add_argument("--fixed_shapes", action="store_true",
+                        help="Pad batches to dataset-static shapes (one "
+                             "XLA compile; with the device store this "
+                             "enables the fully device-resident "
+                             "index-batch pipeline). Ours-only flag — "
+                             "the shared A/B yamls stay reference-schema.")
     parser.add_argument("--load_model", type=str, default=None,
                         help="Load model from file.")
     parser.add_argument("--save_embeddings", action="store_true",
@@ -68,7 +74,9 @@ def main():
 
     seed = cfg.random_seed if cfg.random_seed is not None else 0
     train_set, val_set, train_loader, val_loader = \
-        create_retrieval_datasets_and_loaders(cfg, path_data, seed=seed)
+        create_retrieval_datasets_and_loaders(
+            cfg, path_data, seed=seed,
+            fixed_shapes=True if args.fixed_shapes else None)
 
     if args.test_dataset:
         run_retrieval_dataset_test(train_set, train_loader)
