@@ -448,6 +448,25 @@ def estimate_store_bytes(dataset: "RetrievalDataset",
     return (vid + text) * bytes_per_elem
 
 
+def device_store_budget(device=None, fraction: float = 0.55,
+                        fallback: float = 6e9) -> float:
+    """HBM budget for the auto feature-store decision: a fraction of the
+    accelerator's free memory (the rest is headroom for params, opt
+    state, activations, batch buffers, and allocator fragmentation).
+    Falls back to a flat 6 GB where the backend reports no stats (CPU)."""
+    try:
+        import jax
+        dev = device if device is not None else jax.local_devices()[0]
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit", 0)
+        in_use = stats.get("bytes_in_use", 0)
+        if limit > 0:
+            return fraction * (limit - in_use)
+    except Exception:
+        pass
+    return fallback
+
+
 def create_retrieval_datasets_and_loaders(
         cfg, path_data: Union[str, Path], *, seed: int = 0,
         verbose: bool = False, fixed_shapes: Optional[bool] = None,
@@ -469,9 +488,14 @@ def create_retrieval_datasets_and_loaders(
     if device_preload is None:
         knob = getattr(cfg.dataset_train, "preload_device", "auto")
         if knob == "auto":
-            total = (estimate_store_bytes(train_set)
-                     + estimate_store_bytes(val_set))
-            device_preload = total < 6e9
+            # size the estimate with the ACTUAL store itemsize (the store
+            # is kept in the compute dtype: bf16 halves it, f32 doubles
+            # the old bf16-only guess) against the device's real free HBM
+            dtype = str(getattr(cfg, "compute_dtype", "float32"))
+            itemsize = 2 if dtype == "bfloat16" else 4
+            total = (estimate_store_bytes(train_set, itemsize)
+                     + estimate_store_bytes(val_set, itemsize))
+            device_preload = total < device_store_budget()
         else:
             device_preload = bool(knob)
     train_store = val_store = None

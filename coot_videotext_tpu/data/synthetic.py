@@ -34,7 +34,8 @@ def generate_retrieval_dataset(
         tokens_per_sentence: int = 12,
         seed: int = 0,
         shared_projections: bool = True,
-        signal_scale: float = 1.0) -> Dict[str, str]:
+        signal_scale: float = 1.0,
+        modality_noise: float = 0.0) -> Dict[str, str]:
     """
     Create a complete synthetic retrieval dataset under root/<dataset_name>/.
     Paired video clips and sentences share a latent vector so retrieval
@@ -55,6 +56,15 @@ def generate_retrieval_dataset(
     datasets) saturates R@1 on small val sets; lower it to hold val
     retrieval in the mid-range so quality deltas are visible — used by
     the reference-scale A/B dataset (data_gen_yc2big.py).
+
+    modality_noise: rho>0 gives each modality an independently-noised
+    copy of every clip latent (lat + rho*eps), capping retrieval by
+    latent geometry instead of feature noise. Unlike signal_scale (whose
+    noise pooling averages away — ANY learnable signal saturates R@1),
+    this bound is intrinsic to the data: it cannot be trained or
+    averaged around, so val metrics land mid-range and implementation
+    quality differences stay visible. 0 (default) = legacy perfect
+    correspondence, byte-identical streams.
 
     Returns a dict of config overrides for RetrievalDatasetConfig.
     """
@@ -85,6 +95,21 @@ def generate_retrieval_dataset(
 
         # shared latent per clip drives both modalities
         latents = rng.randn(n_clips, 16).astype(np.float32)
+        # Imperfect cross-modal correspondence: each modality sees an
+        # independently-noised copy of the clip latent, so retrieval is
+        # bounded by latent geometry rather than feature noise (which
+        # pooling averages away at ANY signal_scale — real captions
+        # likewise never describe everything in the frame). rho=0.7 puts
+        # the 457-video v2p R@1 ceiling ~0.50 / c2s ~0.27, the real
+        # yc2_2d3d regime. Drawn only when enabled so legacy datasets
+        # stay byte-reproducible at a given seed.
+        if modality_noise > 0:
+            lat_v = latents + modality_noise * rng.randn(
+                n_clips, 16).astype(np.float32)
+            lat_t = latents + modality_noise * rng.randn(
+                n_clips, 16).astype(np.float32)
+        else:
+            lat_v = lat_t = latents
         if shared_projections:
             proj_v, proj_t = shared_proj_v, shared_proj_t
         else:
@@ -103,14 +128,14 @@ def generate_retrieval_dataset(
         text_rows = []
         for c in range(n_clips):
             s, e = int(seg_starts[c]), int(seg_stops[c])
-            vid_feat[s:e] += signal_scale * (latents[c] @ proj_v)
+            vid_feat[s:e] += signal_scale * (lat_v[c] @ proj_v)
             t0, t1 = s / fps, e / fps
             segments.append({
                 "text": f"synthetic sentence {i} {c} doing things.",
                 "start_sec": float(t0), "stop_sec": float(t1)})
             n_tok = tokens_per_sentence
             rows = rng.randn(n_tok, text_feat_dim).astype(np.float32)
-            rows += signal_scale * (latents[c] @ proj_t)
+            rows += signal_scale * (lat_t[c] @ proj_t)
             text_rows.append(rows)
             splits.append(n_tok)
 

@@ -83,8 +83,7 @@ def fused_genpool_mode(s: int, length: int, d: int, h: int,
         return None
     if d % 128 != 0 or h % 128 != 0:
         return None
-    fixed, per_row = _bwd_footprint(length, d, h, itemsize)
-    if fixed + per_row > _VMEM_BUDGET or s < 1:
+    if s < 1 or _pick_block_rows(s, length, d, h, itemsize, bwd=True) < 1:
         return None
     return "interpret" if flag == "interpret" else "compile"
 
@@ -103,17 +102,23 @@ def _bwd_footprint(length: int, d: int, h: int, itemsize: int
 
 def _pick_block_rows(s: int, length: int, d: int, h: int, itemsize: int,
                      bwd: bool) -> int:
+    """Largest legal block-row count fitting VMEM: must divide s AND be a
+    multiple of 8 (TPU lowering: a non-final block dim must be 8-aligned
+    unless the block spans the whole dim). 0 = no legal blocking."""
     if bwd:
         fixed, per_row = _bwd_footprint(length, d, h, itemsize)
     else:
         fixed = 2 * itemsize * d * h + 4 * (h + d)
         per_row = (length * d * (itemsize + 4 * 3) + length * h * 4 * 2
                    + length * 4 + d * 4)
-    bs = max(1, (_VMEM_BUDGET - fixed) // max(per_row, 1))
-    bs = min(bs, 256, s)
-    while s % bs:
-        bs -= 1
-    return max(bs, 1)
+    cap = int(max(0, (_VMEM_BUDGET - fixed) // max(per_row, 1)))
+    cap = min(cap, 256, s)
+    if cap >= s:
+        return s
+    for bs in range(cap - cap % 8, 0, -8):
+        if s % bs == 0:
+            return bs
+    return 0
 
 
 def _act_fn(pre, act: str):
