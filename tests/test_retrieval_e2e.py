@@ -53,6 +53,51 @@ def test_dataset_and_collation(synth_data):
     assert batch["batch_valid"].all()
 
 
+def test_auto_store_decision_hbm_and_dtype_aware(synth_data, monkeypatch):
+    """The 'auto' device-preload decision must size the estimate with the
+    ACTUAL store itemsize (bf16 halves it vs f32) and compare against the
+    device's free-HBM budget (flat 6GB fallback without stats)."""
+    import coot_videotext_tpu.data.retrieval_dataset as rd
+
+    class Dev:
+        @staticmethod
+        def memory_stats():
+            return {"bytes_limit": 16_000_000_000,
+                    "bytes_in_use": 1_000_000_000}
+
+    assert rd.device_store_budget(Dev()) == 0.55 * 15_000_000_000
+
+    class NoStats:
+        @staticmethod
+        def memory_stats():
+            return None
+
+    assert rd.device_store_budget(NoStats()) == 6e9
+
+    root, overrides = synth_data
+    cfg = make_cfg(overrides)
+    bf16 = rd.estimate_store_bytes(
+        rd.RetrievalDataset(cfg.dataset_train, root,
+                            rng=np.random.RandomState(0)), 2)
+    val_bf16 = rd.estimate_store_bytes(
+        rd.RetrievalDataset(cfg.dataset_val, root,
+                            rng=np.random.RandomState(1)), 2)
+    # budget between the total bf16 and f32 estimates: bf16 -> store on,
+    # f32 (2x the elements' bytes) -> off
+    monkeypatch.setattr(rd, "device_store_budget",
+                        lambda: 1.5 * (bf16 + val_bf16))
+    cfg_f32 = make_cfg(overrides)
+    assert str(getattr(cfg_f32, "compute_dtype", "float32")) == "float32"
+    *_, loader_f32 = rd.create_retrieval_datasets_and_loaders(
+        cfg_f32, root, seed=0)
+    assert loader_f32.device_store is None
+    cfg_bf16 = make_cfg(overrides)
+    cfg_bf16.compute_dtype = "bfloat16"
+    *_, loader_bf16 = rd.create_retrieval_datasets_and_loaders(
+        cfg_bf16, root, seed=0)
+    assert loader_bf16.device_store is not None
+
+
 def test_device_store_collation_matches_dense(synth_data):
     """The HBM-store index batch gathers to the same features as the
     dense collation (same sampling RNG stream)."""
