@@ -43,10 +43,14 @@ underflow to probability 0 under the -32752 fill). Both this kernel
 and autodiff produce only cancellation roundoff for db2; under dropout
 (keep2) the uniform shift breaks and b2 goes live.
 
-Gating: OFF by default (COOT_TPU_FUSED_GENPOOL=1 enables) until the
-measured step-time win is recorded in docs/PERFORMANCE.md — under
-dropout the RNG stream change perturbs training trajectories, so
-flipping the default is a measured decision, not a free one.
+Gating: OFF by default (COOT_TPU_FUSED_GENPOOL=1 enables). Measured
+on v5e at bench shapes (tools/profile_genpool_ab.py): 32.74 ms
+unfused vs 32.48 ms fused model block — +0.8%, within noise, i.e. a
+documented wash like ops/pallas_attention at L=80 (docs/
+PERFORMANCE.md "Measured negative results"). The default stays off
+both for that and because under dropout the kernel's hardware-PRNG
+stream differs from the module's, which would perturb training
+trajectories for no measured win.
 """
 
 from __future__ import annotations
