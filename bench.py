@@ -743,6 +743,57 @@ def _retriable(error: str) -> bool:
         "failed_precondition", "connection"))
 
 
+COMPETITOR_PIDFILE = Path(__file__).resolve().parent / ".bench_competitors.pid"
+
+
+def _pause_competitors() -> list:
+    """SIGSTOP registered host-CPU-heavy processes for the bench run.
+
+    This host has ONE cpu core. The reference-scale quality A/B
+    (tools/ab_reference_retrieval.py) runs torch on it for hours and
+    starves JAX's host-side tracing/compile — measured: the bench's
+    model/step build went 9.7s -> 196.6s and compile+warmup blew the
+    whole 390s budget while the torch run was live. Long A/B tools
+    register "pid tag" lines in .bench_competitors.pid; a PID is only
+    touched if it is alive AND its /proc cmdline still contains the
+    recorded tag (no pattern matching against other processes). Every
+    stopped PID is SIGCONTed in _parent's finally, so the A/B run loses
+    only the bench's wall-clock, never progress.
+    """
+    paused = []
+    try:
+        lines = COMPETITOR_PIDFILE.read_text().splitlines()
+    except OSError:
+        return paused
+    for line in lines:
+        parts = line.split(None, 1)
+        if len(parts) != 2 or not parts[0].isdigit():
+            continue
+        pid, tag = int(parts[0]), parts[1].strip()
+        try:
+            cmdline = Path(f"/proc/{pid}/cmdline").read_bytes()
+        except OSError:
+            continue  # not alive
+        if tag.encode() not in cmdline:
+            continue  # pid was recycled; leave it alone
+        try:
+            os.kill(pid, signal.SIGSTOP)
+            paused.append(pid)
+            stage(f"paused competitor pid {pid} ({tag}) for the bench")
+        except OSError:
+            pass
+    return paused
+
+
+def _resume_competitors(paused: list) -> None:
+    for pid in paused:
+        try:
+            os.kill(pid, signal.SIGCONT)
+            stage(f"resumed competitor pid {pid}")
+        except OSError:
+            pass
+
+
 def _parent(mode: str) -> int:
     """Watchdog wrapper: ALWAYS prints one JSON line within the deadline.
 
@@ -753,6 +804,14 @@ def _parent(mode: str) -> int:
     fresh process; a hang (the tunnel-wedge mode) burns the whole budget
     once and is reported, since retrying into a wedged tunnel cannot help.
     """
+    paused = _pause_competitors()
+    try:
+        return _parent_inner(mode)
+    finally:
+        _resume_competitors(paused)
+
+
+def _parent_inner(mode: str) -> int:
     deadline = float(os.environ.get("BENCH_DEADLINE", "390"))
     attempts_max = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     reserve = 10.0  # seconds kept for our own teardown + emission

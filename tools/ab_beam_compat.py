@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--log_dir", default="experiments_beam_ab")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tag", default="",
+                    help="suffix for the evidence filename, e.g. "
+                         "'_undertrained' for a low-epoch decode point")
     args = ap.parse_args()
     os.chdir(REPO)
 
@@ -73,7 +76,7 @@ def main() -> None:
         print(f"{mode}: " + ", ".join(
             f"{k}={v:.4f}" for k, v in results[mode].items()))
 
-    out = REPO / "docs/ab_evidence/beam_compat.json"
+    out = REPO / f"docs/ab_evidence/beam_compat{args.tag}.json"
     out.write_text(json.dumps(
         {"config": "config/caption/ab/capsynth_ab.yaml",
          "epochs": args.epochs, "seed": args.seed,

@@ -86,8 +86,24 @@ def main() -> None:
     if args.epochs is not None:
         argv += ["-o", f"train.num_epochs={args.epochs}"]
     sys.argv = argv
+    register_bench_competitor()
     runpy.run_path(os.path.join(REF, "train_retrieval.py"),
                    run_name="__main__")
+
+
+def register_bench_competitor() -> None:
+    """Record this PID so bench.py can SIGSTOP us for its timed run.
+
+    Reference-scale runs hold the host's single CPU core for hours;
+    bench.py pauses registered competitors (verifying the tag against
+    /proc/<pid>/cmdline first) and SIGCONTs them when it finishes, so
+    the driver's end-of-round bench isn't starved of host CPU. Stale
+    lines are harmless — dead/recycled PIDs fail the tag check.
+    """
+    pidfile = os.path.join(REPO, ".bench_competitors.pid")
+    line = f"{os.getpid()} ab_reference_retrieval.py\n"
+    with open(pidfile, "a", encoding="utf8") as f:
+        f.write(line)
 
 
 if __name__ == "__main__":
