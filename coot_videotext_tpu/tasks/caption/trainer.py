@@ -218,6 +218,7 @@ class MartTrainer(BaseTrainer):
             n_word_correct = 0
             for step, (batch, _meta) in enumerate(
                     self._prefetch(train_loader)):
+                self._heartbeat_first_dispatch()
                 self.hook_pre_step_timer()
                 lr = self.current_lr()
                 rng = jax.random.fold_in(self._root_rng,

@@ -224,6 +224,7 @@ class RetrievalTrainer(BaseTrainer):
         train_step = self._get_train_step(use_store, sampling)
         for step, (batch, _meta) in enumerate(prefetch_to_device(
                 train_loader, sharding=self._data_sharding)):
+            self._heartbeat_first_dispatch()
             self.hook_pre_step_timer()
             rng = jax.random.fold_in(self._root_rng,
                                      self.state.total_step)
@@ -272,6 +273,7 @@ class RetrievalTrainer(BaseTrainer):
             # the identity carry discards their result entirely)
             bv[kk:, 0] = True
 
+            self._heartbeat_first_dispatch()
             self.hook_pre_step_timer()
             rng = jax.random.fold_in(self._root_rng,
                                      self.state.total_step)

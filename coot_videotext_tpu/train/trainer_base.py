@@ -358,6 +358,23 @@ class BaseTrainer:
 
     # ---------- step hooks ----------
 
+    def _heartbeat_first_dispatch(self) -> None:
+        """Log once right before the process's first device dispatch.
+
+        A detached run's first step can spend minutes in XLA
+        compilation; without this line the run log looks hung right
+        after "Training epoch: N" with no way to tell compile from
+        crash (that exact silence cost round 3 its reference-scale
+        A/B evidence).
+        """
+        if getattr(self, "_first_dispatch_done", False):
+            return
+        self._first_dispatch_done = True
+        self.logger.info(
+            "Dispatching first step (XLA compiles the program on first "
+            "use; minutes at scale, cached in .jax_cache for restarts). "
+            "The next step line proves it ran.")
+
     def hook_pre_step_timer(self) -> None:
         self.timer_step_forward = timer()
 

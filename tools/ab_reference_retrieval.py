@@ -55,6 +55,21 @@ def install_shims() -> None:
 
     ut.set_seed = set_seed
 
+    # torch>=2.6 defaults torch.load(weights_only=True), which rejects
+    # the reference's own checkpoints (they pickle
+    # nntrainer.lr_scheduler.SchedulerConfig inside the optimizer state,
+    # trainer_base.py:672). These are checkpoints this runner itself
+    # wrote — trusted — so restore the old default for --resume.
+    import torch
+
+    orig_load = torch.load
+
+    def load(*a, **kw):
+        kw.setdefault("weights_only", False)
+        return orig_load(*a, **kw)
+
+    torch.load = load
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

@@ -1,0 +1,94 @@
+"""Run THIS framework's side of the retrieval quality A/B (the twin of
+tools/ab_reference_retrieval.py) with the long-run safety rails:
+
+  - registers its PID in .bench_competitors.pid so the driver's
+    end-of-round bench.py SIGSTOPs it for the timed window instead of
+    contending for the single host core (or, worse, the TPU chip);
+  - --resume drops --reset so BaseTrainer auto-resumes from the run's
+    newest checkpoint (reference-scale runs span driver rounds);
+  - uncaught exceptions land in the experiment's logs/run_*.log via
+    train_retrieval.py's guard, so a detached run that dies is
+    diagnosable from the experiment dir alone.
+
+Usage:
+    python data_gen_yc2big.py     # materialize data/yc2big first
+    python tools/ab_tpu_retrieval.py --run tpubigs --seed 0 \
+        --config config/retrieval/ab/yc2big_ab.yaml [--resume]
+
+Writes experiments under experiments_tpu_ab/ in the layout
+tools/ab_compare.py expects. --fixed_shapes is always on: it is the
+ours-only performance flag (device store + one XLA compile) and does
+not change the math the A/B compares.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def register_bench_competitor() -> None:
+    """Record this PID so bench.py can SIGSTOP us for its timed run.
+
+    Same contract as tools/ab_reference_retrieval.py: bench.py verifies
+    the tag against /proc/<pid>/cmdline before signalling, so stale
+    lines from dead or recycled PIDs are harmless.
+    """
+    pidfile = os.path.join(REPO, ".bench_competitors.pid")
+    line = f"{os.getpid()} ab_tpu_retrieval.py\n"
+    with open(pidfile, "a", encoding="utf8") as f:
+        f.write(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", default="tpu1", help="run name suffix")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override train.num_epochs")
+    ap.add_argument("--seed", default="0")
+    ap.add_argument("--config", default="config/retrieval/ab/yc2like_ab.yaml",
+                    help="A/B yaml (repo-relative), e.g. the reference-"
+                         "scale config/retrieval/ab/yc2big_ab.yaml")
+    ap.add_argument("--resume", action="store_true",
+                    help="drop --reset so the trainer auto-resumes from "
+                         "the run's newest checkpoint")
+    ap.add_argument("--preload", action="store_true",
+                    help="preload features into host RAM. Essential at "
+                         "reference scale when the f32 store misses the "
+                         "HBM auto-budget: per-step lazy h5 reads are "
+                         "~335 MB/step and starve the single-core host "
+                         "(the round-3 silent stall).")
+    ap.add_argument("-o", "--config_override", action="append", default=[],
+                    help="forwarded config overrides (key=value)")
+    args = ap.parse_args()
+
+    os.chdir(REPO)
+    argv = [
+        "train_retrieval.py",
+        "-c", os.path.join(REPO, args.config),
+        "--data_path", os.path.join(REPO, "data"),
+        "--log_dir", "experiments_tpu_ab",
+        "--workers", "0", "--seed", args.seed,
+        "--run_name", args.run,
+        "--fixed_shapes",
+    ]
+    if not args.resume:
+        argv.append("--reset")
+    if args.preload:
+        argv.append("--preload")
+    if args.epochs is not None:
+        argv += ["-o", f"train.num_epochs={args.epochs}"]
+    for ov in args.config_override:
+        argv += ["-o", ov]
+    sys.argv = argv
+    register_bench_competitor()
+
+    sys.path.insert(0, REPO)
+    import train_retrieval
+    train_retrieval.main()
+
+
+if __name__ == "__main__":
+    main()

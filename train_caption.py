@@ -102,14 +102,20 @@ def main():
             load_best=load_best, load_epoch=args.load_epoch,
             load_model=args.load_model, is_test=args.validate)
 
-        if args.validate:
-            if not trainer.load and not args.ignore_untrained:
-                raise ValueError(
-                    "Validating an untrained model! No checkpoints were "
-                    "loaded. Add --ignore_untrained to validate anyway.")
-            trainer.validate_epoch(val_loader)
-        else:
-            trainer.train_model(train_loader, val_loader)
+        try:
+            if args.validate:
+                if not trainer.load and not args.ignore_untrained:
+                    raise ValueError(
+                        "Validating an untrained model! No checkpoints were "
+                        "loaded. Add --ignore_untrained to validate anyway.")
+                trainer.validate_epoch(val_loader)
+            else:
+                trainer.train_model(train_loader, val_loader)
+        except BaseException:
+            # surface the traceback in logs/run_*.log so a detached run
+            # that dies is diagnosable from the experiment dir alone
+            trainer.logger.exception("Run aborted by uncaught exception:")
+            raise
         trainer.close()
         del model, model_mgr, trainer
 

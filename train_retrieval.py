@@ -95,16 +95,24 @@ def main():
             load_epoch=args.load_epoch, load_model=args.load_model,
             is_test=args.validate)
 
-        if args.validate:
-            if (not trainer.load and not args.ignore_untrained):
-                raise ValueError(
-                    "Validating an untrained model! No checkpoints were "
-                    "loaded. Add --ignore_untrained to validate anyway.")
-            trainer.validate_epoch(val_loader,
-                                   val_clips=cfg.val.val_clips,
-                                   save_embs=args.save_embeddings)
-        else:
-            trainer.train_model(train_loader, val_loader)
+        try:
+            if args.validate:
+                if (not trainer.load and not args.ignore_untrained):
+                    raise ValueError(
+                        "Validating an untrained model! No checkpoints were "
+                        "loaded. Add --ignore_untrained to validate anyway.")
+                trainer.validate_epoch(val_loader,
+                                       val_clips=cfg.val.val_clips,
+                                       save_embs=args.save_embeddings)
+            else:
+                trainer.train_model(train_loader, val_loader)
+        except BaseException:
+            # surface the traceback in logs/run_*.log so a detached run
+            # that dies is diagnosable from the experiment dir alone
+            # (reference behavior: errors land in the console log,
+            # /root/reference/nntrainer/utils.py:56-103)
+            trainer.logger.exception("Run aborted by uncaught exception:")
+            raise
         trainer.close()
         del model_mgr, trainer
 
