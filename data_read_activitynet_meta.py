@@ -1,60 +1,41 @@
-"""
-Read activitynet metadata -> data/activitynet/meta_all.json
-(port of reference data_read_activitynet_meta.py: swapped timestamps fixed,
-datapoints keyed <ytid>_<split>).
+"""Convert the ActivityNet Captions release (annotations/activitynet/
+{train,val_1,val_2}.json) into data/activitynet/meta_all.json.
+
+Output contract matches the reference tool data_read_activitynet_meta.py
+(inverted timestamps swapped, ids keyed <ytid>_<split>); the conversion
+itself lives in coot_videotext_tpu.data.meta_convert.
 """
 
 import json
-import re
 from pathlib import Path
 
+from coot_videotext_tpu.data.meta_convert import convert_activitynet
 from coot_videotext_tpu.utils import arguments
 from coot_videotext_tpu.utils.arguments import ArgParser
 
-RE_SPACELIKES = re.compile(r"\s+")
+ANNOTATIONS_DIR = Path("annotations/activitynet")
+SPLITS = ("train", "val_1", "val_2")
 
 
 def main():
     parser = ArgParser(description=__doc__)
     arguments.add_path_args(parser)
     args = parser.parse_args()
-    path_data = (args.data_path if args.data_path is not None
-                 else arguments.DEFAULT_DATA_PATH)
-    path_dataset = Path(path_data) / "activitynet"
-    captions_path = Path("annotations") / "activitynet"
-    print(f"Working on dataset path {path_dataset} captions from "
-          f"{captions_path}")
-    path_dataset.mkdir(parents=True, exist_ok=True)
-    meta_file = path_dataset / "meta_all.json"
+    data_root = Path(args.data_path if args.data_path is not None
+                     else arguments.DEFAULT_DATA_PATH)
 
-    meta_dict = {}
-    for split in ["train", "val_1", "val_2"]:
-        raw_data = json.loads(
-            (captions_path / f"{split}.json").read_text(encoding="utf8"))
-        for key, val in raw_data.items():
-            timestamps = val["timestamps"]
-            sentences = val["sentences"]
-            duration_sec = val["duration"]
-            segments = []
-            for num_seg in range(len(timestamps)):
-                sentence = RE_SPACELIKES.sub(" ", sentences[num_seg])
-                start_sec, stop_sec = timestamps[num_seg]
-                if stop_sec < start_sec:
-                    print(f"switch: stop_sec {stop_sec} > start_sec "
-                          f"{start_sec}")
-                    start_sec, stop_sec = stop_sec, start_sec
-                segments.append({"text": sentence,
-                                 "start_sec": start_sec,
-                                 "stop_sec": stop_sec})
-            assert key[:2] == "v_"
-            short_key = key[2:]
-            meta_dict[f"{short_key}_{split}"] = {
-                "data_key": short_key, "split": split,
-                "segments": segments, "duration_sec": duration_sec}
+    release = {
+        split: json.loads(
+            (ANNOTATIONS_DIR / f"{split}.json").read_text(encoding="utf8"))
+        for split in SPLITS}
+    meta, swapped = convert_activitynet(release)
+    for item in swapped:
+        print(f"swapped inverted segment timestamps in {item}")
 
-    meta_file.write_text(json.dumps(meta_dict, sort_keys=True),
-                         encoding="utf8")
-    print(f"wrote {meta_file}")
+    out_file = data_root / "activitynet" / "meta_all.json"
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    out_file.write_text(json.dumps(meta, sort_keys=True), encoding="utf8")
+    print(f"{len(meta)} datapoints from {ANNOTATIONS_DIR} -> {out_file}")
 
 
 if __name__ == "__main__":

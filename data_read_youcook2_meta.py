@@ -1,55 +1,35 @@
-"""
-Read youcook2 metadata -> data/youcook2/meta_all.json
-(port of reference data_read_youcook2_meta.py).
+"""Convert the official YouCook2 annotation release
+(annotations/youcook2/youcookii_annotations_trainval.json) into
+data/youcook2/meta_all.json.
+
+Output contract matches the reference tool data_read_youcook2_meta.py;
+the conversion itself lives in coot_videotext_tpu.data.meta_convert.
 """
 
 import json
 from pathlib import Path
 
+from coot_videotext_tpu.data.meta_convert import convert_youcook2
 from coot_videotext_tpu.utils import arguments
 from coot_videotext_tpu.utils.arguments import ArgParser
 
-SPLIT_MAP = {"training": "train", "validation": "val"}
-FIXES = {}
+ANNOTATIONS = Path("annotations/youcook2/youcookii_annotations_trainval.json")
 
 
 def main():
     parser = ArgParser(description=__doc__)
     arguments.add_path_args(parser)
     args = parser.parse_args()
-    path_data = (args.data_path if args.data_path is not None
-                 else arguments.DEFAULT_DATA_PATH)
-    path_dataset = Path(path_data) / "youcook2"
-    captions_path = Path("annotations") / "youcook2"
-    print(f"Working on dataset path {path_dataset} captions from "
-          f"{captions_path}")
-    path_dataset.mkdir(parents=True, exist_ok=True)
-    meta_file = path_dataset / "meta_all.json"
+    data_root = Path(args.data_path if args.data_path is not None
+                     else arguments.DEFAULT_DATA_PATH)
 
-    meta_raw = json.loads(
-        (captions_path / "youcookii_annotations_trainval.json").read_text(
-            encoding="utf8"))["database"]
+    release = json.loads(ANNOTATIONS.read_text(encoding="utf8"))
+    meta = convert_youcook2(release["database"])
 
-    meta_dict = {}
-    for key, meta in meta_raw.items():
-        duration_sec = meta["duration"]
-        split = SPLIT_MAP[meta["subset"]]
-        segs = []
-        for seg in meta["annotations"]:
-            time_start, time_stop = seg["segment"]
-            assert time_stop > time_start, "Negative duration"
-            narration = seg["sentence"]
-            for fix_from, fix_to in FIXES.items():
-                narration = narration.replace(fix_from, fix_to)
-            segs.append({"text": narration,
-                         "start_sec": float(time_start),
-                         "stop_sec": float(time_stop)})
-        meta_dict[key] = {"data_key": key, "duration_sec": duration_sec,
-                          "split": split, "segments": segs}
-
-    meta_file.write_text(json.dumps(meta_dict, sort_keys=True),
-                         encoding="utf8")
-    print(f"wrote {meta_file}")
+    out_file = data_root / "youcook2" / "meta_all.json"
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    out_file.write_text(json.dumps(meta, sort_keys=True), encoding="utf8")
+    print(f"{len(meta)} videos from {ANNOTATIONS} -> {out_file}")
 
 
 if __name__ == "__main__":

@@ -1,9 +1,6 @@
+"""Show retrieval results (CLI parity with reference show_retrieval.py):
+the modality x metric grid plus the vp-r1 / cs-r1 pair averages.
 """
-Show retrieval results (CLI parity with reference show_retrieval.py):
-builds the modality x metric grid plus vp-r1/cs-r1 averages.
-"""
-
-import re
 
 from coot_videotext_tpu.tasks.retrieval.config import (
     CootMetersConst, ExperimentTypesConst)
@@ -16,6 +13,31 @@ from coot_videotext_tpu.utils.view_results import (
     update_performance_profile)
 
 EXP_TYPE = ExperimentTypesConst.RETRIEVAL
+DEFAULT_FIELDS = ["v2p-r1", "p2v-r1", "c2s-r1", "s2c-r1", "Time"]
+
+
+def grid_metric(modality: str, metric: str) -> PrintMetric:
+    """One cell of the modality x metric grid. R@1 lives in the overview
+    meter class (val_base), everything else in the detail class
+    (val_ret); recall@N prints as a percentage, ranks as floats."""
+    meter_class = "val_base" if metric == "r1" else "val_ret"
+    fmt = "%" if metric.startswith("r") and metric[1:].isdigit() else "f"
+    group = "vid" if "vid" in modality else "clip"
+    return PrintMetric(f"{meter_class}/{modality}-{metric}", fmt, 2, group)
+
+
+def add_r1_pair_averages(collector) -> None:
+    """vp-r1 = mean of v2p/p2v R@1; cs-r1 likewise when clips were
+    evaluated (the single-number scores the paper tables sort by)."""
+    for model_name, metrics in collector.items():
+        try:
+            metrics["vp-r1"] = (metrics["val_base/vid2par-r1"]
+                                + metrics["val_base/par2vid-r1"]) / 2
+            if "val_base/cli2sen-r1" in metrics:
+                metrics["cs-r1"] = (metrics["val_base/cli2sen-r1"]
+                                    + metrics["val_base/sen2cli-r1"]) / 2
+        except KeyError as e:
+            print(f"WARNING: {e} for {model_name}")
 
 
 def main():
@@ -34,38 +56,19 @@ def main():
         EXP_TYPE, exp_groups_names, log_dir=args.log_dir,
         read_last_epoch=args.last, add_group=args.add_group)
     collector = update_performance_profile(collector)
+    add_r1_pair_averages(collector)
 
-    # modality x metric grid (reference show_retrieval.py:41-72)
-    retrieval_metrics = {}
-    re_retrieval_at = re.compile(r"r[0-9]+")
-    for modality, shortcut in zip(CootMetersConst.RET_MODALITIES,
-                                  CootMetersConst.RET_MODALITIES_SHORT):
-        for metric in CootMetersConst.RET_METRICS:
-            metric_class = "val_base" if metric == "r1" else "val_ret"
-            formatting = "%" if re_retrieval_at.match(metric) else "f"
-            key = f"{metric_class}/{modality}-{metric}"
-            print_group = "vid" if "vid" in modality else "clip"
-            retrieval_metrics[f"{shortcut}-{metric}"] = PrintMetric(
-                key, formatting, 2, print_group)
-    retrieval_metrics["vp-r1"] = PrintMetric("vp-r1", "%", 2,
-                                             "retrieval")
-    retrieval_metrics["cs-r1"] = PrintMetric("cs-r1", "%", 2,
-                                             "retrieval")
+    table = {
+        f"{short}-{metric}": grid_metric(modality, metric)
+        for modality, short in zip(CootMetersConst.RET_MODALITIES,
+                                   CootMetersConst.RET_MODALITIES_SHORT)
+        for metric in CootMetersConst.RET_METRICS}
+    table["vp-r1"] = PrintMetric("vp-r1", "%", 2, "retrieval")
+    table["cs-r1"] = PrintMetric("cs-r1", "%", 2, "retrieval")
 
-    for model_name, metrics in collector.items():
-        try:
-            metrics["vp-r1"] = (metrics["val_base/vid2par-r1"]
-                                + metrics["val_base/par2vid-r1"]) / 2
-            if "val_base/cli2sen-r1" in metrics:
-                metrics["cs-r1"] = (metrics["val_base/cli2sen-r1"]
-                                    + metrics["val_base/sen2cli-r1"]) / 2
-        except KeyError as e:
-            print(f"WARNING: {e} for {model_name}")
-
-    default_fields = ["v2p-r1", "p2v-r1", "c2s-r1", "s2c-r1", "Time"]
-    output_results(collector, custom_metrics=retrieval_metrics,
+    output_results(collector, custom_metrics=table,
                    metrics=args.metrics, default_metrics=[],
-                   fields=args.fields, default_fields=default_fields,
+                   fields=args.fields, default_fields=DEFAULT_FIELDS,
                    mean=args.mean, mean_all=args.mean_all,
                    sort=args.sort, sort_asc=args.sort_asc,
                    compact=args.compact)
