@@ -60,8 +60,11 @@ ESTIMATE (the reference publishes no caption throughput at all): the
 reference torch MART measured on this host CPU (795 words/s, 1 core)
 scaled by the GPU/CPU ratio observed for the retrieval workload on the
 same host (122 clips/s GPU from README.md:158 wall-clock / 32.1 clips/s
-CPU measured = 3.8x) => ~3.0k words/s. The driver runs the default
-(retrieval) mode; caption numbers are recorded in PERFORMANCE.md.
+CPU measured = 3.8x) => ~3.0k words/s. The default (retrieval) run the
+driver invokes ALSO runs the caption mode in its leftover budget and
+merges its numbers into the same JSON line as caption_* fields, so
+BENCH_r*.json carries both workloads; retrieval additionally reports a
+value_min/value_max spread over BENCH_TIMING_REPS timed chains.
 """
 
 from __future__ import annotations
@@ -603,10 +606,13 @@ def run_retrieval() -> dict:
 
     # ---- model + optimizer + scan step ----
     mgr = RetrievalModelManager(cfg)
+    stage("model manager built")
     params = mgr.init_params(0)
+    stage("params initialized")
     flops_step = flops_per_retrieval_step(params, shapes, bsz)
     optimizer = make_optimizer(cfg.optimizer)
     state = TrainState(params, optimizer.init(params), jnp.int32(0))
+    stage("optimizer state built")
     state = jax.device_put(state, rep)
     lw = cfg.train.contrastive_loss_config.as_dict()
     sampling = {"shapes": shapes, "max_frames": max_frames}
@@ -660,17 +666,26 @@ def run_retrieval() -> dict:
     t_one = time.perf_counter() - t0
     stage(f"1-group chain: {t_one:.3f}s")
 
-    # N-group chain
-    t0 = time.perf_counter()
-    for g in range(2, 2 + n_groups):
-        state, metrics = scan_step(state, group_ids(g), bv, sv, lr,
-                                   jax.random.fold_in(rng, g),
-                                   vid_store, text_store, tables)
-    sync(state)
-    t_many = time.perf_counter() - t0
-    stage(f"{n_groups}-group chain: {t_many:.3f}s")
+    # N-group chains, repeated for a variance estimate (each ~1.4s; the
+    # ~±3% run-to-run noise is characterized in docs/PERFORMANCE.md —
+    # report the spread instead of a single point)
+    n_reps = int(os.environ.get("BENCH_TIMING_REPS", "3"))
+    per_steps = []
+    g_base = 2
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        for g in range(g_base, g_base + n_groups):
+            state, metrics = scan_step(state, group_ids(g), bv, sv, lr,
+                                       jax.random.fold_in(rng, g),
+                                       vid_store, text_store, tables)
+        sync(state)
+        t_many = time.perf_counter() - t0
+        g_base += n_groups
+        per_steps.append((t_many - t_one) / ((n_groups - 1) * group_size))
+        stage(f"{n_groups}-group chain rep {rep + 1}/{n_reps}: "
+              f"{t_many:.3f}s")
 
-    per_step = (t_many - t_one) / ((n_groups - 1) * group_size)
+    per_step = float(np.median(per_steps))
     loss = float(jax.device_get(metrics["loss_total"][-1]))
     assert np.isfinite(loss), f"non-finite loss {loss}"
 
@@ -682,6 +697,10 @@ def run_retrieval() -> dict:
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec_chip / REFERENCE_CLIPS_PER_SEC,
                              3),
+        # spread across the timing reps (value is the median rep)
+        "value_min": round(clips_per_step / max(per_steps) / n_chips, 2),
+        "value_max": round(clips_per_step / min(per_steps) / n_chips, 2),
+        "timing_reps": n_reps,
     }
     result.update(_perf_extras(jax, flops_step, per_step, n_chips))
     stage(f"per_step={per_step * 1e3:.2f}ms  loss={loss:.4f}  "
@@ -811,6 +830,41 @@ def _parent(mode: str) -> int:
         _resume_competitors(paused)
 
 
+def _run_worker_once(mode: str, budget: float, attempt: int):
+    """One worker subprocess bounded by `budget` seconds.
+
+    Returns (parsed_json_or_None, last_err, last_stage, timed_out).
+    """
+    stage_file = Path(f"/tmp/bench_stage_{os.getpid()}_{mode}_{attempt}")
+    env = dict(os.environ, BENCH_STAGE_FILE=str(stage_file))
+    proc = subprocess.Popen(
+        [sys.executable, "-u", __file__, "--worker", mode],
+        stdout=subprocess.PIPE, stderr=None, text=True, env=env)
+    timed_out = False
+    try:
+        out, _ = proc.communicate(timeout=budget)
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        stage(f"{mode} worker exceeded its budget; terminating it")
+        proc.terminate()
+        try:
+            out, _ = proc.communicate(timeout=8)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, _ = proc.communicate()
+    file_stage = None
+    if stage_file.exists():
+        file_stage = stage_file.read_text().strip() or None
+        stage_file.unlink(missing_ok=True)
+    parsed = _parse_result(out)
+    if proc.returncode == 0 and parsed and parsed.get("value") is not None:
+        return parsed, None, None, False
+    err = (parsed or {}).get(
+        "error", f"worker exited rc={proc.returncode} with no JSON")
+    at_stage = (parsed or {}).get("stage") or file_stage or "unknown"
+    return None, err, at_stage, timed_out
+
+
 def _parent_inner(mode: str) -> int:
     deadline = float(os.environ.get("BENCH_DEADLINE", "390"))
     attempts_max = int(os.environ.get("BENCH_ATTEMPTS", "3"))
@@ -818,43 +872,22 @@ def _parent_inner(mode: str) -> int:
     t_start = time.monotonic()
     last_err, last_stage = "never attempted", "startup"
     attempt = 0
+    result = None
 
     for attempt in range(1, attempts_max + 1):
         remaining = deadline - (time.monotonic() - t_start) - reserve
         if remaining < 30:
             last_err += " (no budget left for another attempt)"
             break
-        stage(f"attempt {attempt}/{attempts_max}: launching worker "
+        stage(f"attempt {attempt}/{attempts_max}: launching {mode} worker "
               f"(budget {remaining:.0f}s)")
-        stage_file = Path(f"/tmp/bench_stage_{os.getpid()}_{attempt}")
-        env = dict(os.environ, BENCH_STAGE_FILE=str(stage_file))
-        proc = subprocess.Popen(
-            [sys.executable, "-u", __file__, "--worker", mode],
-            stdout=subprocess.PIPE, stderr=None, text=True, env=env)
-        timed_out = False
-        try:
-            out, _ = proc.communicate(timeout=remaining)
-        except subprocess.TimeoutExpired:
-            timed_out = True
-            stage("worker exceeded the bench deadline; terminating it")
-            proc.terminate()
-            try:
-                out, _ = proc.communicate(timeout=8)
-            except subprocess.TimeoutExpired:
-                proc.kill()
-                out, _ = proc.communicate()
-        file_stage = None
-        if stage_file.exists():
-            file_stage = stage_file.read_text().strip() or None
-            stage_file.unlink(missing_ok=True)
-        parsed = _parse_result(out)
-        if proc.returncode == 0 and parsed and parsed.get("value") is not None:
+        parsed, err, at_stage, timed_out = _run_worker_once(
+            mode, remaining, attempt)
+        if parsed is not None:
             parsed["attempts"] = attempt
-            print(json.dumps(parsed), flush=True)
-            return 0
-        last_err = (parsed or {}).get(
-            "error", f"worker exited rc={proc.returncode} with no JSON")
-        last_stage = (parsed or {}).get("stage") or file_stage or "unknown"
+            result = parsed
+            break
+        last_err, last_stage = err, at_stage
         if timed_out:
             last_err = (f"bench deadline ({deadline:.0f}s) hit at stage "
                         f"'{last_stage}': {last_err}")
@@ -870,9 +903,45 @@ def _parent_inner(mode: str) -> int:
             stage(f"backing off {backoff:.0f}s before retry")
             time.sleep(backoff)
 
-    print(json.dumps(_error_result(
-        mode, last_err[:2000], last_stage, attempt)), flush=True)
-    return 1
+    if result is None:
+        print(json.dumps(_error_result(
+            mode, last_err[:2000], last_stage, attempt)), flush=True)
+        return 1
+
+    # Secondary workload in the leftover budget: the driver runs only the
+    # default (retrieval) mode, so the caption train-step number rides the
+    # same JSON line as caption_* fields (VERDICT r3 #4). Warm .jax_cache
+    # makes this ~60-100s; skipped (with the reason recorded) if the
+    # primary ate the budget.
+    secondary = os.environ.get(
+        "BENCH_SECONDARY", "caption" if mode == "retrieval" else "")
+    if secondary:
+        remaining = deadline - (time.monotonic() - t_start) - reserve
+        if remaining < 100:
+            result["caption_skipped"] = (
+                f"only {remaining:.0f}s of budget left")
+            stage(f"skipping secondary '{secondary}': {remaining:.0f}s left")
+        else:
+            stage(f"launching secondary '{secondary}' worker "
+                  f"(budget {remaining:.0f}s)")
+            parsed2, err2, at_stage2, _ = _run_worker_once(
+                secondary, remaining, 1)
+            if parsed2 is not None:
+                prefix = secondary
+                result[parsed2["metric"]] = parsed2["value"]
+                result[f"{prefix}_unit"] = parsed2["unit"]
+                result[f"{prefix}_vs_baseline"] = parsed2["vs_baseline"]
+                for k in ("per_step_ms", "mfu", "model_flops_per_step",
+                          "model_flops_per_sec_per_chip"):
+                    if k in parsed2:
+                        result[f"{prefix}_{k}"] = parsed2[k]
+            else:
+                result[f"{secondary}_error"] = \
+                    f"{err2[:300]} (at {at_stage2})"
+                stage(f"secondary '{secondary}' failed: {err2[:200]}")
+
+    print(json.dumps(result), flush=True)
+    return 0
 
 
 def main() -> int:
