@@ -202,30 +202,41 @@ def test_module_wiring_fused_vs_unfused(monkeypatch):
         assert abs(a - b_).max() / sc < 2e-4, k
 
 
-@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG paths measured on "
-                    "chip (interpret PRNG differs per backend)")
-def test_dropout_statistics_and_fwd_bwd_mask_identity_tpu():
+def test_dropout_determinism_and_fwd_bwd_mask_identity():
+    """Dropout-path properties that hold on EVERY backend (interpret off
+    chip, compiled on chip): same-seed determinism and backward
+    re-deriving the forward's masks. Seed SENSITIVITY is asserted only
+    on TPU inside the body below — interpret-mode prng_random_bits
+    produces a degenerate stream that ignores pltpu.prng_seed (measured:
+    seed and seed+1 give identical masks on CPU interpret), so off-chip
+    it would test the emulator, not the kernel.
+    tools/check_pallas_kernels_tpu.py covers the full statistics on
+    hardware."""
     f, mask, w1, b1, w2, b2 = _setup(seed=5)
     seed = jnp.asarray([7], jnp.int32)
     rate = 0.5
-    out1 = _fwd_call(f, mask, w1, b1, w2, b2, seed, "none", rate, True)
-    out2 = _fwd_call(f, mask, w1, b1, w2, b2, seed, "none", rate, True)
+    out1 = _fwd_call(f, mask, w1, b1, w2, b2, seed, "none", rate, True,
+                     interpret=INTERP)
+    out2 = _fwd_call(f, mask, w1, b1, w2, b2, seed, "none", rate, True,
+                     interpret=INTERP)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
-    out3 = _fwd_call(f, mask, w1, b1, w2, b2, seed + 1, "none", rate,
-                     True)
-    assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 0
+    if ON_TPU:  # hardware PRNG: different seed => different masks
+        out3 = _fwd_call(f, mask, w1, b1, w2, b2, seed + 1, "none", rate,
+                         True)
+        assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 0
     # backward re-derives the same masks: with act="none" the pipeline
     # is linear in f per mask draw, so df contracted with a probe equals
     # the directional difference quotient to f32 accuracy
     df, *_ = _bwd_call(f, mask, w1, b1, w2, b2, seed,
-                       jnp.ones((S, D), jnp.float32), "none", rate, True)
+                       jnp.ones((S, D), jnp.float32), "none", rate, True,
+                       interpret=INTERP)
     eps = 1e-3
     probe = jnp.asarray(np.random.RandomState(0).randn(S, L, D),
                         jnp.float32)
     o_plus = _fwd_call(f + eps * probe, mask, w1, b1, w2, b2, seed,
-                       "none", rate, True)
+                       "none", rate, True, interpret=INTERP)
     o_minus = _fwd_call(f - eps * probe, mask, w1, b1, w2, b2, seed,
-                        "none", rate, True)
+                        "none", rate, True, interpret=INTERP)
     fd = float(jnp.sum((o_plus - o_minus))) / (2 * eps)
     an = float(jnp.sum(df * probe))
     assert abs(fd - an) / max(abs(fd), 1e-3) < 5e-2

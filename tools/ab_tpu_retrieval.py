@@ -60,6 +60,13 @@ def main() -> None:
                          "HBM auto-budget: per-step lazy h5 reads are "
                          "~335 MB/step and starve the single-core host "
                          "(the round-3 silent stall).")
+    ap.add_argument("--preload_device", action="store_true",
+                    help="force the HBM feature store (index-only steps)."
+                         " The ONLY long-run-safe pipeline on this "
+                         "environment: every bulk host->device transfer "
+                         "leaks its size in host RAM (axon client bug; "
+                         "measured 84 MB/84 MB-put), so per-step dense "
+                         "batches OOM the host after ~65 dispatches.")
     ap.add_argument("-o", "--config_override", action="append", default=[],
                     help="forwarded config overrides (key=value)")
     args = ap.parse_args()
@@ -78,6 +85,8 @@ def main() -> None:
         argv.append("--reset")
     if args.preload:
         argv.append("--preload")
+    if args.preload_device:
+        argv.append("--preload_device")
     if args.epochs is not None:
         argv += ["-o", f"train.num_epochs={args.epochs}"]
     for ov in args.config_override:

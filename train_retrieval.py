@@ -41,6 +41,13 @@ def main():
     arguments.add_dataset_test_arg(parser)
     parser.add_argument("--preload", action="store_true",
                         help="Preload video and text features into RAM.")
+    parser.add_argument("--preload_device", action="store_true",
+                        help="Force the HBM-resident feature store even "
+                             "when the auto budget would decline it "
+                             "(ships only gather indices per step - the "
+                             "only transfer path that doesn't hit this "
+                             "environment's axon per-transfer host "
+                             "memory leak on long runs).")
     parser.add_argument("--fixed_shapes", action="store_true",
                         help="Pad batches to dataset-static shapes (one "
                              "XLA compile; with the device store this "
@@ -66,6 +73,8 @@ def main():
         for dset in ("dataset_train", "dataset_val"):
             config[dset]["preload_vid_feat"] = True
             config[dset]["preload_text_feat"] = True
+    if args.preload_device:
+        config["dataset_train"]["preload_device"] = True
 
     cfg = Config(config,
                  is_train=not args.validate and not args.test_dataset)
