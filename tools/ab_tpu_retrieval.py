@@ -42,6 +42,67 @@ def register_bench_competitor() -> None:
         f.write(line)
 
 
+def _experiment_dir(config_path: str, run: str) -> str:
+    """Experiment dir for run `<run>1` of the given A/B yaml (the CLI's
+    run-number suffix is always 1 here: single-run invocations)."""
+    exp_name = os.path.splitext(os.path.basename(config_path))[0]
+    return os.path.join(REPO, "experiments_tpu_ab", "retrieval", "default",
+                        f"{exp_name}_{run}1")
+
+
+def _done_epochs(exp_dir: str):
+    """Epoch numbers with a saved trainerstate (the trainer writes it
+    after every completed epoch)."""
+    import glob
+    import re
+    eps = []
+    for f in glob.glob(os.path.join(exp_dir, "models",
+                                    "trainerstate_*.json")):
+        m = re.search(r"trainerstate_(\d+)\.json$", f)
+        if m:
+            eps.append(int(m.group(1)))
+    return sorted(eps)
+
+
+def run_chunked(args) -> None:
+    """One epoch per child process (see --chunked help)."""
+    import subprocess
+
+    import yaml
+    with open(os.path.join(REPO, args.config), encoding="utf8") as fh:
+        target = int(yaml.safe_load(fh)["train"]["num_epochs"])
+    if args.epochs is not None:
+        target = args.epochs
+    exp_dir = _experiment_dir(args.config, args.run)
+
+    while True:
+        done = _done_epochs(exp_dir)
+        if done and done[-1] >= target - 1:
+            print(f"[chunked] all {target} epochs done ({exp_dir})")
+            return
+        nxt = (done[-1] + 1) if done else 0
+        # always --resume: with no checkpoints the trainer starts fresh
+        # without clobbering earlier epochs' logs/metrics
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--run", args.run, "--seed", args.seed,
+               "--config", args.config, "--preload", "--resume",
+               "--epochs", str(nxt + 1)]
+        for ov in args.config_override:
+            cmd += ["-o", ov]
+        print(f"[chunked] epoch {nxt}/{target - 1}: {' '.join(cmd[1:])}",
+              flush=True)
+        rc = subprocess.call(cmd)
+        if rc != 0:
+            new = _done_epochs(exp_dir)
+            if new == done:
+                print(f"[chunked] child rc={rc} with no new checkpoint; "
+                      "aborting (see the experiment's logs/run_*.log)",
+                      flush=True)
+                sys.exit(rc)
+            # checkpoint advanced: the failure was post-save (e.g. a
+            # teardown crash); keep going
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default="tpu1", help="run name suffix")
@@ -69,7 +130,21 @@ def main() -> None:
                          "batches OOM the host after ~65 dispatches.")
     ap.add_argument("-o", "--config_override", action="append", default=[],
                     help="forwarded config overrides (key=value)")
+    ap.add_argument("--chunked", action="store_true",
+                    help="train ONE epoch per child process, restarting "
+                         "until the config's num_epochs are done. This is "
+                         "the long-run-safe mode on this environment: the "
+                         "axon client leaks every bulk host->device "
+                         "transfer (~1.7 GB per dense f32 step at "
+                         "reference scale), so a single process is OOM-"
+                         "killed after ~2 epochs; one epoch per process "
+                         "peaks at ~60 GB host RSS and exits. Implies "
+                         "--preload (the HBM store does not fit: 10.9 GB "
+                         "f32 features + step activations > 16 GB v5e).")
     args = ap.parse_args()
+
+    if args.chunked:
+        return run_chunked(args)
 
     os.chdir(REPO)
     argv = [
