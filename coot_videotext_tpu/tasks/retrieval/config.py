@@ -153,6 +153,11 @@ class RetrievalDatasetConfig(trainer_configs.BaseDatasetConfig):
         # a (P, L) layout (P = static overflow-safe budget) so the local
         # nets skip padded part slots entirely (~2x fewer rows on yc2)
         self.pack_parts: bool = config.pop("pack_parts", True)
+        # without the device store: ship packed feature-row slabs + gather
+        # indices per batch instead of dense zero-padded tensors (~4x
+        # fewer host->device bytes, bit-exact — data/retrieval_dataset.py
+        # collate_slab). "auto" = on when an accelerator is attached.
+        self.pack_transfer = config.pop("pack_transfer", "auto")
         assert self.data_type == ExperimentTypesConst.RETRIEVAL
         assert self.frames_noise >= 0 and self.words_noise >= 0
 

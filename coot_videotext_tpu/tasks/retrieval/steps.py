@@ -42,7 +42,7 @@ def make_retrieval_train_step(
         model, optimizer: Optimizer, *,
         loss_weights: Dict[str, float], margin: float,
         loss_cycle_cons: float, clip_gradient: float = -1.0,
-        mesh=None, use_store: bool = False,
+        mesh=None, use_store: bool = False, slab: bool = False,
         frames_noise: float = 0.0, words_noise: float = 0.0,
         device_sampling: Optional[Dict[str, Any]] = None,
         state_shardings=None) -> Callable:
@@ -57,6 +57,10 @@ def make_retrieval_train_step(
     the batch is just {"dp_idx", "batch_valid"} and frame sampling + index
     construction run on device too (tables passed as the last arg) — the
     host ships a few hundred bytes per step.
+    With slab (packed transfers, retrieval_dataset.py collate_slab) the
+    per-batch row slabs ride INSIDE the batch as vid_store/text_store and
+    are gathered the same way; noise is already in the slab rows (host
+    collate), so the on-device noise stays off.
 
     metrics holds the loss parts (loss_total/loss_contrastive/loss_cc/...)
     and, when clip_gradient > 0, the pre-clip grad norm (the reference only
@@ -64,6 +68,8 @@ def make_retrieval_train_step(
     """
     if device_sampling is not None:
         assert use_store
+    if slab:
+        assert not use_store and device_sampling is None
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
                 lr: jnp.ndarray, rng: jax.Array,
@@ -71,6 +77,10 @@ def make_retrieval_train_step(
                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng_dropout, rng_cc, rng_noise, rng_sample = \
             jax.random.split(rng, 4)
+        if slab:
+            batch = dict(batch)
+            vid_store = batch.pop("vid_store")
+            text_store = batch.pop("text_store")
         if device_sampling is not None:
             from coot_videotext_tpu.data.device_store import (
                 device_sample_batch)
@@ -78,7 +88,7 @@ def make_retrieval_train_step(
                 tables, batch["dp_idx"], device_sampling["shapes"],
                 device_sampling["max_frames"], rng=rng_sample,
                 batch_valid=batch["batch_valid"])
-        if use_store:
+        if use_store or slab:
             from coot_videotext_tpu.data.device_store import (
                 gather_dense_batch)
             batch = gather_dense_batch(
@@ -134,13 +144,15 @@ def make_retrieval_train_step(
 def make_retrieval_eval_step(model, *, loss_weights: Dict[str, float],
                              margin: float, loss_cycle_cons: float,
                              mesh=None, use_store: bool = False,
+                             slab: bool = False,
                              device_sampling: Optional[Dict[str, Any]]
                              = None) -> Callable:
     """
     Build the jitted eval step:
         eval_step(params, batch, rng) -> (embeddings dict, loss parts)
     (+ trailing (vid_store, text_store) args with use_store; no feature
-    noise at eval, matching the reference's train-only noise).
+    noise at eval, matching the reference's train-only noise). With slab
+    (packed transfers) the per-batch row slabs ride inside the batch.
 
     Embeddings come back both raw and L2-normalized (reference
     trainer_retrieval.py:382-402 collects raw then normalizes manually on
@@ -150,6 +162,10 @@ def make_retrieval_eval_step(model, *, loss_weights: Dict[str, float],
     def eval_fn(params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
                 vid_store=None, text_store=None, tables=None
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        if slab:
+            batch = dict(batch)
+            vid_store = batch.pop("vid_store")
+            text_store = batch.pop("text_store")
         if device_sampling is not None:
             from coot_videotext_tpu.data.device_store import (
                 device_sample_batch)
@@ -158,7 +174,7 @@ def make_retrieval_eval_step(model, *, loss_weights: Dict[str, float],
                 tables, batch["dp_idx"], device_sampling["shapes"],
                 device_sampling["max_frames"], rng=None,
                 batch_valid=batch["batch_valid"])
-        if use_store:
+        if use_store or slab:
             from coot_videotext_tpu.data.device_store import (
                 gather_dense_batch)
             batch = gather_dense_batch(batch, vid_store, text_store)

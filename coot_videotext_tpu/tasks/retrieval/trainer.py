@@ -102,29 +102,38 @@ class RetrievalTrainer(BaseTrainer):
 
     @staticmethod
     def _loader_mode(loader):
-        """(use_store, device_sampling_cfg, extra step args) per loader."""
+        """(use_store, device_sampling_cfg, extra step args, slab) per
+        loader. slab = packed transfers: the per-batch feature slabs ride
+        inside the batch (retrieval_dataset.py collate_slab)."""
         store = getattr(loader, "device_store", None)
         meta = getattr(loader, "device_meta", None)
         if meta is not None:
             sampling = {"shapes": meta.shapes,
                         "max_frames": meta.max_frames}
             args = (store.vid_store, store.text_store, meta.tables)
-            return True, sampling, args
+            return True, sampling, args, False
         if store is not None:
-            return True, None, (store.vid_store, store.text_store)
-        return False, None, ()
+            return True, None, (store.vid_store, store.text_store), False
+        if getattr(loader, "pack_transfer", False):
+            return False, None, (), True
+        return False, None, (), False
 
-    def _get_train_step(self, use_store, sampling):
-        key = (use_store, sampling is not None)
+    def _get_train_step(self, use_store, sampling, slab=False):
+        key = (use_store, sampling is not None, slab)
         if key not in self._train_steps:
+            # slab rows carry host-applied noise already; the on-device
+            # noise is only for the HBM-store gather path
+            noisy = use_store
             self._train_steps[key] = make_retrieval_train_step(
                 self.model_mgr.model_train, self.optimizer,
                 loss_weights=self._loss_weights, margin=self._margin,
                 loss_cycle_cons=self.cfg.train.loss_cycle_cons,
                 clip_gradient=self.cfg.train.clip_gradient,
-                mesh=self.mesh, use_store=use_store,
-                frames_noise=self.cfg.dataset_train.frames_noise,
-                words_noise=self.cfg.dataset_train.words_noise,
+                mesh=self.mesh, use_store=use_store, slab=slab,
+                frames_noise=(self.cfg.dataset_train.frames_noise
+                              if noisy else 0.0),
+                words_noise=(self.cfg.dataset_train.words_noise
+                             if noisy else 0.0),
                 device_sampling=sampling)
         return self._train_steps[key]
 
@@ -141,14 +150,14 @@ class RetrievalTrainer(BaseTrainer):
                 device_sampling=sampling)
         return self._train_scans["scan"]
 
-    def _get_eval_step(self, use_store, sampling):
-        key = (use_store, sampling is not None)
+    def _get_eval_step(self, use_store, sampling, slab=False):
+        key = (use_store, sampling is not None, slab)
         if key not in self._eval_steps:
             self._eval_steps[key] = make_retrieval_eval_step(
                 self.model_mgr.model_eval, loss_weights=self._loss_weights,
                 margin=self._margin,
                 loss_cycle_cons=self.cfg.train.loss_cycle_cons,
-                mesh=self.mesh, use_store=use_store,
+                mesh=self.mesh, use_store=use_store, slab=slab,
                 device_sampling=sampling)
         return self._eval_steps[key]
 
@@ -174,7 +183,8 @@ class RetrievalTrainer(BaseTrainer):
 
     def train_model(self, train_loader, val_loader) -> None:
         self.hook_pre_train()
-        use_store, sampling, store_args = self._loader_mode(train_loader)
+        use_store, sampling, store_args, slab = \
+            self._loader_mode(train_loader)
         k_dispatch = getattr(self.cfg.train, "steps_per_dispatch", 1)
         scan_capable = sampling is not None and k_dispatch > 1
         if k_dispatch > 1 and sampling is None:
@@ -209,7 +219,7 @@ class RetrievalTrainer(BaseTrainer):
                                        k_dispatch)
             else:
                 self._train_epoch_per_step(train_loader, use_store,
-                                           sampling, store_args)
+                                           sampling, store_args, slab)
 
             is_val = self.check_is_val_epoch()
             has_improved = False
@@ -220,8 +230,8 @@ class RetrievalTrainer(BaseTrainer):
         self.hook_post_train()
 
     def _train_epoch_per_step(self, train_loader, use_store, sampling,
-                              store_args) -> None:
-        train_step = self._get_train_step(use_store, sampling)
+                              store_args, slab=False) -> None:
+        train_step = self._get_train_step(use_store, sampling, slab)
         for step, (batch, _meta) in enumerate(prefetch_to_device(
                 train_loader, sharding=self._data_sharding)):
             self._heartbeat_first_dispatch()
@@ -323,8 +333,9 @@ class RetrievalTrainer(BaseTrainer):
         num_steps = 0
         rng = jax.random.PRNGKey(42)
 
-        use_store, sampling, store_args = self._loader_mode(val_loader)
-        eval_step = self._get_eval_step(use_store, sampling)
+        use_store, sampling, store_args, slab = \
+            self._loader_mode(val_loader)
+        eval_step = self._get_eval_step(use_store, sampling, slab)
         for batch, meta in prefetch_to_device(
                 val_loader, sharding=self._data_sharding):
             t0 = timer()

@@ -193,3 +193,28 @@ def read_nonempty_lines(file: Union[str, Path]) -> List[str]:
         if line and not line.startswith("#"):
             out.append(line)
     return out
+
+
+def enable_compilation_cache(cache_dir: Union[str, Path, None] = None
+                             ) -> None:
+    """
+    Turn on jax's persistent compilation cache (default: .jax_cache under
+    the repo root, overridable via JAX_COMPILATION_CACHE_DIR). XLA
+    compiles are the dominant startup cost of short-lived training
+    processes on real TPU chips (~40s per step function); with the cache
+    warm, a restarted run (auto-resume, chunked A/B children, the driver
+    bench) skips straight to execution. Safe to call multiple times.
+    """
+    import os
+
+    import jax
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            str(Path(__file__).resolve().parents[2] / ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # older jax: knob names differ; cache is optional
+        pass

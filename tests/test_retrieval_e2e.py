@@ -353,3 +353,118 @@ def test_packed_parts_match_dense(synth_data):
     np.testing.assert_allclose(np.asarray(out_p["par_emb"]),
                                np.asarray(out_d["par_emb"]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_slab_collation_bit_exact_vs_dense(synth_data):
+    """Packed-transfer collation (collate_slab) must reconstruct the dense
+    batch BIT-EXACTLY after the on-device gather: same points (same host
+    sampling + noise), so every valid position is the same float32 and
+    every mask/length array is identical."""
+    import jax
+    from coot_videotext_tpu.data.device_store import gather_dense_batch
+    from coot_videotext_tpu.data.retrieval_dataset import RetrievalDataset
+
+    root, overrides = synth_data
+    cfg = make_cfg(overrides)
+    ds = RetrievalDataset(cfg.dataset_train, root,
+                          rng=np.random.RandomState(0))
+    points = [ds[i] for i in range(6)]
+    fixed = ds.compute_fixed_shapes()
+    dense = ds.collate_fn(points, batch_size=8, fixed_shapes=fixed)
+    budgets = ds.compute_slab_budgets(batch_size=8)
+    slab = ds.collate_slab(points, batch_size=8, fixed_shapes=fixed,
+                           slab_budgets=budgets)
+    assert slab["vid_store"].shape[0] == budgets["slab_vid_rows"]
+    assert "vid_feat" not in slab
+
+    arrays = {k: v for k, v in slab.items() if not isinstance(v, list)}
+    vid_store = arrays.pop("vid_store")
+    text_store = arrays.pop("text_store")
+    gathered = gather_dense_batch(jax.device_put(arrays),
+                                  jax.device_put(vid_store),
+                                  jax.device_put(text_store))
+    for key in ("vid_mask", "vid_len", "clip_mask", "clip_len",
+                "clip_valid", "clip_num", "par_mask", "par_len",
+                "sent_mask", "sent_len", "sent_valid", "sent_num",
+                "batch_valid"):
+        np.testing.assert_array_equal(np.asarray(gathered[key]),
+                                      dense[key], err_msg=key)
+    for key, mask in (("vid_feat", dense["vid_mask"]),
+                      ("clip_feat", dense["clip_mask"]),
+                      ("par_feat", dense["par_mask"]),
+                      ("sent_feat", dense["sent_mask"])):
+        got = np.asarray(gathered[key], np.float32) * mask[..., None]
+        np.testing.assert_array_equal(got, dense[key] * mask[..., None],
+                                      err_msg=key)
+
+
+def test_slab_train_and_eval_steps_match_dense(synth_data):
+    """A jitted train step and eval step fed slab batches produce the same
+    losses/embeddings as the dense path (same params, same points)."""
+    import jax
+    import jax.numpy as jnp
+    from coot_videotext_tpu.data.retrieval_dataset import RetrievalDataset
+    from coot_videotext_tpu.tasks.retrieval.steps import (
+        TrainState, make_retrieval_eval_step, make_retrieval_train_step)
+    from coot_videotext_tpu.train.optim import make_optimizer
+
+    root, overrides = synth_data
+    cfg = make_cfg(overrides)
+    ds = RetrievalDataset(cfg.dataset_train, root,
+                          rng=np.random.RandomState(0))
+    points = [ds[i] for i in range(6)]
+    fixed = ds.compute_fixed_shapes()
+    dense = ds.collate_fn(points, batch_size=8, fixed_shapes=fixed)
+    slab = ds.collate_slab(points, batch_size=8, fixed_shapes=fixed)
+
+    mgr = RetrievalModelManager(cfg)
+    params = mgr.init_params(0, {k: v for k, v in dense.items()
+                                 if not isinstance(v, list)})
+    opt = make_optimizer(cfg.optimizer)
+    state = TrainState(params, opt.init(params), jnp.int32(0))
+    lw = cfg.train.contrastive_loss_config.as_dict()
+    kw = dict(loss_weights=lw, margin=cfg.train.contrastive_loss_config.margin,
+              loss_cycle_cons=cfg.train.loss_cycle_cons)
+
+    rng = jax.random.PRNGKey(7)
+    step_d = make_retrieval_train_step(
+        mgr.model_train, opt, clip_gradient=cfg.train.clip_gradient, **kw)
+    step_s = make_retrieval_train_step(
+        mgr.model_train, opt, clip_gradient=cfg.train.clip_gradient,
+        slab=True, **kw)
+    db = {k: v for k, v in dense.items() if not isinstance(v, list)}
+    sb = {k: v for k, v in slab.items() if not isinstance(v, list)}
+    # the train step donates its state arg: give each call its own copy
+    copy = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: jnp.array(a), t)
+    _, m_d = step_d(copy(state), jax.device_put(db), jnp.float32(1e-3), rng)
+    _, m_s = step_s(copy(state), jax.device_put(sb), jnp.float32(1e-3), rng)
+    np.testing.assert_allclose(float(m_s["loss_total"]),
+                               float(m_d["loss_total"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m_s["loss_contrastive"]),
+                               float(m_d["loss_contrastive"]), rtol=1e-6)
+
+    ev_d = make_retrieval_eval_step(mgr.model_eval, **kw)
+    ev_s = make_retrieval_eval_step(mgr.model_eval, slab=True, **kw)
+    embs_d, parts_d = ev_d(state.params, jax.device_put(db), rng)
+    embs_s, parts_s = ev_s(state.params, jax.device_put(sb), rng)
+    np.testing.assert_allclose(np.asarray(embs_s["vid_emb"]),
+                               np.asarray(embs_d["vid_emb"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(embs_s["sent_emb"]),
+                               np.asarray(embs_d["sent_emb"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(parts_s["loss_total"]),
+                               float(parts_d["loss_total"]), rtol=1e-6)
+
+
+def test_pack_transfer_auto_off_on_cpu(synth_data):
+    """auto knob: no packed transfers on the CPU backend (nothing to
+    shrink), loaders still yield dense batches there."""
+    root, overrides = synth_data
+    cfg = make_cfg(overrides)
+    _, _, train_loader, val_loader = create_retrieval_datasets_and_loaders(
+        cfg, root, seed=0, device_preload=False)
+    assert not train_loader.pack_transfer
+    batch = next(iter(train_loader))
+    assert "vid_feat" in batch and "vid_store" not in batch

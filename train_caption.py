@@ -57,6 +57,10 @@ def update_mart_config_from_args(config, args, *, verbose=True):
 
 
 def main():
+    # persistent XLA compile cache (see train_retrieval.py)
+    from coot_videotext_tpu.utils.general import enable_compilation_cache
+    enable_compilation_cache()
+
     parser = ArgParser(description=__doc__)
     arguments.add_default_args(parser)
     arguments.add_exp_identifier_args(parser)

@@ -34,6 +34,11 @@ def run_retrieval_dataset_test(train_set, train_loader) -> None:
 
 
 def main():
+    # persistent XLA compile cache: restarted runs (auto-resume, chunked
+    # A/B children) skip the ~40s-per-step-function TPU compiles
+    from coot_videotext_tpu.utils.general import enable_compilation_cache
+    enable_compilation_cache()
+
     parser = ArgParser(description=__doc__)
     arguments.add_default_args(parser)
     arguments.add_exp_identifier_args(parser)
