@@ -100,6 +100,20 @@ def install_shims() -> None:
             setattr(parent, name, cls)
     sys.modules["pycocoevalcap"] = root
 
+    # torch>=2.6 defaults torch.load(weights_only=True), which rejects
+    # the reference's own checkpoints (pickled config objects inside the
+    # saved dict). These are checkpoints this runner itself wrote —
+    # trusted — so restore the old default for --resume/EMA reload.
+    import torch
+
+    orig_load = torch.load
+
+    def load(*a, **kw):
+        kw.setdefault("weights_only", False)
+        return orig_load(*a, **kw)
+
+    torch.load = load
+
     # mart/trainer_caption.py:102-103 declares pydantic fields without
     # annotations (`prev_best_score = 0.`), which pydantic v2 rejects at
     # class creation — exec a source-patched copy of the module under its
@@ -118,29 +132,51 @@ def install_shims() -> None:
     exec(compile(src, src_path, "exec"), mod.__dict__)
 
 
+def register_bench_competitor() -> None:
+    """Record this PID so bench.py can SIGSTOP us for its timed run
+    (same contract as tools/ab_reference_retrieval.py)."""
+    pidfile = os.path.join(REPO, ".bench_competitors.pid")
+    with open(pidfile, "a", encoding="utf8") as f:
+        f.write(f"{os.getpid()} ab_reference_caption.py\n")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default="refcap0", help="run name suffix")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", default="0")
+    ap.add_argument("--config", default="config/caption/ab/capsynth_ab.yaml",
+                    help="A/B yaml (repo-relative), e.g. the chained "
+                         "config/caption/ab/yc2big_mart_ab.yaml")
+    ap.add_argument("--annotations_dir",
+                    default="data/capsynth_ab/annotations")
+    ap.add_argument("--coot_feat_dir",
+                    default="data/capsynth_ab/provided_embeddings",
+                    help="per-side COOT embedding dir (the chained A/B "
+                         "points this at the embeddings exported by the "
+                         "REFERENCE's own retrieval run)")
+    ap.add_argument("--resume", action="store_true",
+                    help="drop --reset so the reference trainer auto-"
+                         "resumes from the run's last checkpoint")
     args = ap.parse_args()
 
     install_shims()
     os.chdir(REPO)
     argv = [
         "train_caption.py",
-        "-c", os.path.join(REPO, "config/caption/ab/capsynth_ab.yaml"),
-        "--annotations_dir",
-        os.path.join(REPO, "data/capsynth_ab/annotations"),
-        "--coot_feat_dir",
-        os.path.join(REPO, "data/capsynth_ab/provided_embeddings"),
+        "-c", os.path.join(REPO, args.config),
+        "--annotations_dir", os.path.join(REPO, args.annotations_dir),
+        "--coot_feat_dir", os.path.join(REPO, args.coot_feat_dir),
         "--log_dir", os.path.join(REPO, "experiments_ref_ab"),
-        "--workers", "0", "--seed", args.seed, "--reset",
+        "--workers", "0", "--seed", args.seed,
         "--run_name", args.run,
     ]
+    if not args.resume:
+        argv.append("--reset")
     if args.epochs is not None:
         argv += ["-o", f"train.num_epochs={args.epochs}"]
     sys.argv = argv
+    register_bench_competitor()
     runpy.run_path(os.path.join(REF, "train_caption.py"),
                    run_name="__main__")
 
