@@ -19,7 +19,11 @@ RETRIEVAL_FIELDS = [
     ("val_base/par2vid-r1", "p2v@1", 3),
     ("val_base/cli2sen-r1", "c2s@1", 3),
     ("val_base/sen2cli-r1", "s2c@1", 3),
+    ("val_base/best_field", "best", 3),
 ]
+# retrieval R@1 columns scored against the quality bar (fractions; the
+# bar is 0.5 percentage points, BASELINE.md)
+R1_FIELDS = ("v2p@1", "p2v@1", "c2s@1", "s2c@1")
 CAPTION_FIELDS = [
     ("val_base/loss", "vloss", 3),
     ("train/acc", "tacc", 3),
@@ -58,6 +62,9 @@ def main() -> None:
     ap.add_argument("--tpu", default="experiments_tpu_ab")
     ap.add_argument("--task", default="retrieval",
                     choices=["retrieval", "caption"])
+    ap.add_argument("--json", default=None,
+                    help="also write the summary (incl. per-run "
+                         "trajectories) to this path")
     args = ap.parse_args()
 
     global FIELDS
@@ -91,14 +98,54 @@ def main() -> None:
                     acc[n].append(last[n])
         return {n: (sum(v) / len(v) if v else None) for n, v in acc.items()}
 
+    # best-epoch values per run (reference README numbers are best-epoch;
+    # best = argmax of the trainer's own det_best field when present,
+    # else the last epoch)
+    def best_ep(eps):
+        cands = [(v.get("best"), ep) for ep, v in eps.items()
+                 if v.get("best") is not None]
+        return max(cands)[1] if cands else max(eps)
+
+    def best_avg(runs):
+        acc = {n: [] for n in names}
+        for eps in runs.values():
+            at = eps[best_ep(eps)]
+            for n in names:
+                if at[n] is not None:
+                    acc[n].append(at[n])
+        return {n: (sum(v) / len(v) if v else None) for n, v in acc.items()}
+
+    summary = {}
     if ref_runs and tpu_runs:
-        fr, ft = final_avg(ref_runs), final_avg(tpu_runs)
-        print("\n== final-epoch means (ref | tpu | delta) ==")
-        for n in names:
-            if fr[n] is None or ft[n] is None:
-                continue
-            print(f"{n:>6}: {fr[n]:7.3f} | {ft[n]:7.3f} | "
-                  f"{ft[n] - fr[n]:+7.3f}")
+        for label, avg in (("final-epoch", final_avg),
+                           ("best-epoch", best_avg)):
+            fr, ft = avg(ref_runs), avg(tpu_runs)
+            print(f"\n== {label} means (ref | tpu | delta) ==")
+            deltas = {}
+            for n in names:
+                if fr[n] is None or ft[n] is None:
+                    continue
+                deltas[n] = ft[n] - fr[n]
+                print(f"{n:>6}: {fr[n]:7.3f} | {ft[n]:7.3f} | "
+                      f"{deltas[n]:+7.3f}")
+            summary[label] = {"ref": fr, "tpu": ft, "delta": deltas}
+        if args.task == "retrieval":
+            worst = max((abs(summary["best-epoch"]["delta"][n])
+                         for n in R1_FIELDS
+                         if n in summary["best-epoch"]["delta"]),
+                        default=None)
+            if worst is not None:
+                verdict = "PASS" if worst * 100 <= 0.5 else "FAIL"
+                print(f"\nworst best-epoch R@1 delta: {worst * 100:.2f} "
+                      f"pts -> {verdict} (bar: 0.5 pts, BASELINE.md)")
+                summary["worst_r1_delta_pts"] = worst * 100
+                summary["verdict_0p5pt"] = verdict
+        if args.json:
+            summary["runs"] = {"ref": {n: r for n, r in ref_runs.items()},
+                               "tpu": {n: r for n, r in tpu_runs.items()}}
+            Path(args.json).write_text(json.dumps(summary, indent=1),
+                                       encoding="utf8")
+            print(f"summary written to {args.json}")
 
 
 if __name__ == "__main__":
