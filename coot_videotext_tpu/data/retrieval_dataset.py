@@ -554,11 +554,14 @@ class RetrievalBatchLoader:
         self.device_meta = None
         # packed transfers: ship row slabs + gather indices instead of the
         # dense zero-padded feature tensors (~4x fewer bytes over the
-        # host->device link; bit-exact — see collate_slab)
+        # host->device link; bit-exact — see collate_slab). Slab rows are
+        # bucketed PER BATCH (4096-row granularity): the handful of
+        # resulting shapes each compile once (persistent cache), and the
+        # mean batch ships ~40% fewer bytes than the overflow-safe static
+        # budget — which matters doubly on this environment, where every
+        # transferred byte is also leaked host RAM (axon client bug).
         self.pack_transfer = pack_transfer and device_store is None
-        self.slab_budgets = (dataset.compute_slab_budgets(batch_size)
-                             if self.pack_transfer and fixed_shapes
-                             else None)
+        self.slab_budgets = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
