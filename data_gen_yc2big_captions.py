@@ -95,7 +95,14 @@ def main(*, dataset: str = "yc2big", out_name: str = "yc2big_caption",
     temp = calibrate_temperature(
         logits.reshape(-1, vocab_words), rng, word_noise)
 
-    words = [f"word{i:03d}" for i in range(vocab_words)]
+    # vocabulary MUST be purely alphabetic: the reference's evaluator
+    # preprocesses with parse_sent = re.sub('[^a-zA-Z]',' ',...) (mart/
+    # evaluate_language.py:33-36, reproduced by our hermetic evaluator),
+    # which collapses digit-bearing tokens like "word011" all to "word"
+    # and saturates BLEU at ~0.96 regardless of model quality (observed).
+    # Three lowercase letters per word keeps 400 distinct tokens.
+    words = [chr(97 + i // 676) + chr(97 + (i // 26) % 26)
+             + chr(97 + i % 26) for i in range(vocab_words)]
     word2idx = {s: i for i, s in enumerate(SPECIALS)}
     for w in words + ["."]:
         word2idx.setdefault(w, len(word2idx))
