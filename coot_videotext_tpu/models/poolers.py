@@ -186,17 +186,31 @@ class TemporalAvgPool(nn.Module):
     The reference's 'avg_special' pool (poolers.py:232): sums over the
     ENTIRE sequence — padded positions included, which after key-masked
     attention hold non-zero values — and divides by the valid length. The
-    mask is deliberately ignored; reproducing this quirk exactly is
-    required for converted reference checkpoints to match (the masked
-    variant exists in the reference as TemporalAvgPoolFixed :244 but is
-    never instantiated).
+    mask is deliberately ignored there; but "entire sequence" in the
+    reference means rows 0..batch_max-1, because its collate pads exactly
+    to the batch's max part count. Our static-shape batches pad FURTHER
+    (bucketed n_parts), so a literal all-rows sum includes garbage rows
+    the reference never sums — measured 3.7 pts v2p on a converted
+    reference checkpoint (round 4). Exact parity under static shapes:
+    sum rows with index < max(lengths) — the same dynamic-VALUE batch
+    max the reference's shapes encode, with no dynamic shape. (The
+    attention outputs at those garbage rows are themselves parity-exact
+    deterministic functions of the valid keys, so this reproduces the
+    reference sum term for term. Under data parallelism jnp.max over the
+    sharded batch is the global batch max, matching the reference's
+    single-process batch. The truly masked variant exists in the
+    reference as TemporalAvgPoolFixed :244 but is never instantiated.)
     """
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, mask: jnp.ndarray,
                  lengths: jnp.ndarray, *,
                  deterministic: bool = True) -> jnp.ndarray:
-        summed = jnp.sum(features, axis=1)
+        batch_max = jnp.max(lengths)
+        in_ref_rows = (jnp.arange(features.shape[1]) < batch_max)
+        summed = jnp.sum(
+            features * in_ref_rows[None, :, None].astype(features.dtype),
+            axis=1)
         return summed / jnp.maximum(
             lengths.astype(features.dtype)[:, None], 1.0)
 
