@@ -209,3 +209,33 @@ def test_dropout_module_edge_cases():
 
     with pytest.raises(ValueError, match="deterministic"):
         Dropout(rate=0.1).apply({}, x)
+
+
+def test_temporal_avg_pool_batchmax_row_semantics():
+    """avg_special parity rule (round 4): the pool must sum exactly the
+    rows the reference's batch-max padding would contain — garbage rows
+    beyond max(lengths) (which only exist under our bucketed static
+    shapes) must NOT enter the average, while garbage rows BELOW
+    batch-max (the reference's own quirk) must."""
+    import jax.numpy as jnp
+    import numpy as np
+    from coot_videotext_tpu.models.poolers import TemporalAvgPool
+
+    rng = np.random.RandomState(0)
+    feats16 = rng.randn(3, 16, 8).astype(np.float32)
+    lengths = np.array([2, 5, 3], np.int32)  # batch max 5
+    mask = np.arange(16)[None, :] < lengths[:, None]
+
+    pool = TemporalAvgPool()
+    out16 = pool.apply({}, jnp.asarray(feats16), jnp.asarray(mask),
+                       jnp.asarray(lengths))
+    # bucket further to 24 slots with NEW garbage -> output must not move
+    feats24 = np.concatenate(
+        [feats16, rng.randn(3, 8, 8).astype(np.float32)], axis=1)
+    mask24 = np.arange(24)[None, :] < lengths[:, None]
+    out24 = pool.apply({}, jnp.asarray(feats24), jnp.asarray(mask24),
+                       jnp.asarray(lengths))
+    np.testing.assert_array_equal(np.asarray(out16), np.asarray(out24))
+    # reference semantics: rows < batch-max are summed even when padded
+    expect = feats16[:, :5].sum(1) / np.maximum(lengths, 1)[:, None]
+    np.testing.assert_allclose(np.asarray(out16), expect, rtol=1e-6)
