@@ -65,6 +65,9 @@ def main() -> None:
     ap.add_argument("--json", default=None,
                     help="also write the summary (incl. per-run "
                          "trajectories) to this path")
+    ap.add_argument("--match", default="",
+                    help="only include runs whose name contains this "
+                         "substring (e.g. yc2big_ab)")
     args = ap.parse_args()
 
     global FIELDS
@@ -73,9 +76,11 @@ def main() -> None:
 
     repo = Path(__file__).resolve().parent.parent
     ref_runs = {n: r for n, p in find_runs(repo / args.ref).items()
-                if "probe" not in n and (r := load_run(p))}
+                if "probe" not in n and args.match in n
+                and (r := load_run(p))}
     tpu_runs = {n: r for n, p in find_runs(repo / args.tpu).items()
-                if "probe" not in n and (r := load_run(p))}
+                if "probe" not in n and args.match in n
+                and (r := load_run(p))}
 
     names = [n for _, n, _ in FIELDS]
     for side, runs in (("reference(torch)", ref_runs), ("tpu", tpu_runs)):
