@@ -135,16 +135,42 @@ def main() -> None:
                       f"{deltas[n]:+7.3f}")
             summary[label] = {"ref": fr, "tpu": ft, "delta": deltas}
         if args.task == "retrieval":
-            worst = max((abs(summary["best-epoch"]["delta"][n])
-                         for n in R1_FIELDS
-                         if n in summary["best-epoch"]["delta"]),
-                        default=None)
-            if worst is not None:
+            # the bar is "matches or beats": score the worst DEFICIT
+            # (tpu below ref) across R@1 metrics at the BEST epoch —
+            # the reference's own reporting convention (its README
+            # table and show_retrieval.py read best-epoch metrics).
+            # The final-epoch row above is supplementary: single-epoch
+            # snapshots of these metrics fluctuate ~±0.5 pts between
+            # adjacent epochs within one run.
+            deficits = [
+                -summary["best-epoch"]["delta"][n]
+                for n in R1_FIELDS
+                if n in summary["best-epoch"]["delta"]]
+            # noise floor: the reference's own seed-to-seed spread
+            def spread(runs, conv_best):
+                vals = {n: [] for n in R1_FIELDS}
+                for eps in runs.values():
+                    at = eps[best_ep(eps) if conv_best else max(eps)]
+                    for n in R1_FIELDS:
+                        if at[n] is not None:
+                            vals[n].append(at[n])
+                return {n: (max(v) - min(v) if len(v) > 1 else 0.0)
+                        for n, v in vals.items()}
+            ref_spread = spread(ref_runs, True)
+            if deficits:
+                worst = max(deficits)
                 verdict = "PASS" if worst * 100 <= 0.5 else "FAIL"
-                print(f"\nworst best-epoch R@1 delta: {worst * 100:.2f} "
-                      f"pts -> {verdict} (bar: 0.5 pts, BASELINE.md)")
-                summary["worst_r1_delta_pts"] = worst * 100
+                print(f"\nworst best-epoch R@1 deficit: "
+                      f"{worst * 100:.2f} pts -> {verdict} "
+                      f"(bar: within 0.5 pts or better, BASELINE.md)")
+                print("reference same-side seed spread (best-epoch, "
+                      "pts): "
+                      + ", ".join(f"{n} {ref_spread[n] * 100:.1f}"
+                                  for n in R1_FIELDS))
+                summary["worst_r1_deficit_pts"] = worst * 100
                 summary["verdict_0p5pt"] = verdict
+                summary["ref_seed_spread_pts"] = {
+                    n: ref_spread[n] * 100 for n in R1_FIELDS}
         if args.json:
             summary["runs"] = {"ref": {n: r for n, r in ref_runs.items()},
                                "tpu": {n: r for n, r in tpu_runs.items()}}
