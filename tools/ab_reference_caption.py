@@ -73,9 +73,19 @@ def install_shims() -> None:
         def compute_score(self, option="closest", verbose=0):
             return self._hb.compute_score()
 
-    class Meteor:
+    # Score METEOR with the same hermetic METEOR-lite the TPU side logs,
+    # so cap/met is comparable across the A/B (round-4 verdict: the ref
+    # side fell into its -999 no-java path while ours logged METEOR-lite,
+    # making the one METEOR column in the chained A/B incomparable).
+    # MeteorLite already speaks the pycocoevalcap driver interface
+    # (compute_score(gts, res) -> (score, scores)).
+    from coot_videotext_tpu.tasks.caption.metrics.meteor_lite import (
+        MeteorLite)
+
+    class Meteor(MeteorLite):
         def __init__(self):
-            raise FileNotFoundError("java/METEOR unavailable")
+            print("[ab shim] scoring METEOR with hermetic METEOR-lite "
+                  "(same path as the TPU side)")
 
     class PTBTokenizer:
         pass
