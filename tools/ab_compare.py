@@ -28,9 +28,15 @@ CAPTION_FIELDS = [
     ("val_base/loss", "vloss", 3),
     ("train/acc", "tacc", 3),
     ("cap/b4", "b4", 3),
-    ("cap/rogl", "rougeL", 3),
+    ("cap/met", "met", 3),
+    ("cap/rol", "rougeL", 3),
+    ("cap/cid", "cider", 3),
     ("cap/re4", "re4", 3),
+    ("val_base/best_field", "best", 3),
 ]
+# caption columns scored in the verdict; all on a 0-1 scale except
+# CIDEr (0-10), which gets its own floor below
+CAP_VERDICT_FIELDS = ("b4", "met", "rougeL", "cider")
 FIELDS = RETRIEVAL_FIELDS
 
 
@@ -45,6 +51,16 @@ def load_run(run_dir: Path):
             if isinstance(v, list):
                 v = v[-1][1] if v and isinstance(v[-1], list) else v[-1]
             vals[name] = v
+        # overlay metrics re-scored through the single shared scorer
+        # path (tools/ab_rescore_captions.py) over live-logged values --
+        # this is what makes cap/met comparable when one side's trainer
+        # hit the reference's -999 no-java METEOR path
+        rescored = run_dir / "metrics" / f"rescored_epoch_{ep}.json"
+        if rescored.is_file():
+            r = json.loads(rescored.read_text())
+            for key, name, _ in FIELDS:
+                if key in r:
+                    vals[name] = r[key]
         out[ep] = vals
     return dict(sorted(out.items()))
 
@@ -68,6 +84,10 @@ def main() -> None:
     ap.add_argument("--match", default="",
                     help="only include runs whose name contains this "
                          "substring (e.g. yc2big_ab)")
+    ap.add_argument("--best-mode", default="max", choices=["max", "min"],
+                    help="the trainer config's det_best_compare_mode for "
+                         "these runs; 'min' (e.g. best field val_loss) "
+                         "makes best-epoch selection take the minimum")
     args = ap.parse_args()
 
     global FIELDS
@@ -99,24 +119,30 @@ def main() -> None:
         for eps in runs.values():
             last = eps[max(eps)]
             for n in names:
-                if last[n] is not None:
+                # skip the reference's crashed-scorer sentinel (-999)
+                if last[n] is not None and last[n] > -998:
                     acc[n].append(last[n])
         return {n: (sum(v) / len(v) if v else None) for n, v in acc.items()}
 
     # best-epoch values per run (reference README numbers are best-epoch;
-    # best = argmax of the trainer's own det_best field when present,
-    # else the last epoch)
+    # best = arg-best of the trainer's own det_best field when present,
+    # else the last epoch). --best-mode must match the trainer config's
+    # det_best_compare_mode; ties go to the EARLIEST epoch (the epoch
+    # the trainer itself would have kept as "best", and -- for runs that
+    # validate every 2 epochs -- the epoch whose metrics were actually
+    # computed rather than carried forward).
     def best_ep(eps):
-        cands = [(v.get("best"), ep) for ep, v in eps.items()
+        sign = 1 if args.best_mode == "max" else -1
+        cands = [(sign * v["best"], -ep) for ep, v in eps.items()
                  if v.get("best") is not None]
-        return max(cands)[1] if cands else max(eps)
+        return -max(cands)[1] if cands else max(eps)
 
     def best_avg(runs):
         acc = {n: [] for n in names}
         for eps in runs.values():
             at = eps[best_ep(eps)]
             for n in names:
-                if at[n] is not None:
+                if at[n] is not None and at[n] > -998:
                     acc[n].append(at[n])
         return {n: (sum(v) / len(v) if v else None) for n, v in acc.items()}
 
@@ -171,6 +197,51 @@ def main() -> None:
                 summary["verdict_0p5pt"] = verdict
                 summary["ref_seed_spread_pts"] = {
                     n: ref_spread[n] * 100 for n in R1_FIELDS}
+        elif args.task == "caption":
+            # caption quality bar: TPU best-epoch means must be within
+            # max(floor, reference same-side seed spread) of the
+            # reference means on every language metric. Floors: 0.5 pts
+            # for the 0-1 metrics (B4/METEOR/ROUGE-L), 2 pts for CIDEr
+            # (0-10 scale; its per-seed variance on this set is larger).
+            floors = {"b4": 0.005, "met": 0.005, "rougeL": 0.005,
+                      "cider": 0.02}
+
+            def spread(runs):
+                vals = {n: [] for n in CAP_VERDICT_FIELDS}
+                for eps in runs.values():
+                    at = eps[best_ep(eps)]
+                    for n in CAP_VERDICT_FIELDS:
+                        if at.get(n) is not None:
+                            vals[n].append(at[n])
+                return {n: (max(v) - min(v) if len(v) > 1 else 0.0)
+                        for n, v in vals.items()}
+            ref_spread = spread(ref_runs)
+            delta = summary["best-epoch"]["delta"]
+            rows, worst_margin = [], None
+            for n in CAP_VERDICT_FIELDS:
+                if n not in delta:
+                    continue
+                bar = max(floors[n], ref_spread[n])
+                margin = bar - (-delta[n])  # >0: deficit inside the bar
+                rows.append((n, -delta[n], bar))
+                if worst_margin is None or margin < worst_margin:
+                    worst_margin = margin
+            if rows:
+                verdict = "PASS" if worst_margin >= 0 else "FAIL"
+                print(f"\ncaption best-epoch deficits (tpu below ref) "
+                      f"vs bar -> {verdict}")
+                for n, deficit, bar in rows:
+                    print(f"  {n:>6}: deficit {deficit * 100:+6.2f} pts"
+                          f"  bar {bar * 100:.2f} pts")
+                print("(bar = max(floor, reference same-side seed "
+                      "spread); floors 0.5 pts, CIDEr 2 pts)")
+                summary["caption_deficits_pts"] = {
+                    n: d * 100 for n, d, _ in rows}
+                summary["caption_bars_pts"] = {
+                    n: b * 100 for n, _, b in rows}
+                summary["ref_seed_spread_pts"] = {
+                    n: ref_spread[n] * 100 for n in CAP_VERDICT_FIELDS}
+                summary["verdict_caption"] = verdict
         if args.json:
             summary["runs"] = {"ref": {n: r for n, r in ref_runs.items()},
                                "tpu": {n: r for n, r in tpu_runs.items()}}
