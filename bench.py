@@ -908,37 +908,46 @@ def _parent_inner(mode: str) -> int:
             mode, last_err[:2000], last_stage, attempt)), flush=True)
         return 1
 
-    # Secondary workload in the leftover budget: the driver runs only the
-    # default (retrieval) mode, so the caption train-step number rides the
-    # same JSON line as caption_* fields (VERDICT r3 #4). Warm .jax_cache
-    # makes this ~60-100s; skipped (with the reason recorded) if the
-    # primary ate the budget.
-    secondary = os.environ.get(
-        "BENCH_SECONDARY", "caption" if mode == "retrieval" else "")
-    if secondary:
+    # Secondary workloads in the leftover budget: the driver runs only
+    # the default (retrieval) mode, so the caption train-step number
+    # (VERDICT r3 #4) and the free-running decode number (VERDICT r4 #4)
+    # ride the same JSON line as caption_* / decode_* fields. Warm
+    # .jax_cache makes each ~40-100s; each is independently skipped
+    # (with the reason recorded) when the budget runs out.
+    secondaries = [s for s in os.environ.get(
+        "BENCH_SECONDARY",
+        "caption,decode" if mode == "retrieval" else "").split(",") if s]
+    for secondary in secondaries:
         remaining = deadline - (time.monotonic() - t_start) - reserve
         if remaining < 100:
-            result["caption_skipped"] = (
+            result[f"{secondary}_skipped"] = (
                 f"only {remaining:.0f}s of budget left")
             stage(f"skipping secondary '{secondary}': {remaining:.0f}s left")
+            continue
+        stage(f"launching secondary '{secondary}' worker "
+              f"(budget {remaining:.0f}s)")
+        parsed2, err2, at_stage2, _ = _run_worker_once(
+            secondary, remaining, 1)
+        if parsed2 is not None and parsed2.get("value") is not None:
+            # defensive merge: a schema-light secondary result must
+            # degrade to partial fields, never crash the parent after
+            # the primary already succeeded
+            prefix = secondary
+            metric = parsed2.get(
+                "metric", _MODE_UNITS.get(secondary, (secondary,))[0])
+            result[metric] = parsed2["value"]
+            result[f"{prefix}_unit"] = parsed2.get("unit")
+            result[f"{prefix}_vs_baseline"] = parsed2.get("vs_baseline")
+            for k in ("per_step_ms", "per_call_ms", "mfu",
+                      "model_flops_per_step",
+                      "model_flops_per_sec_per_chip"):
+                if k in parsed2:
+                    result[f"{prefix}_{k}"] = parsed2[k]
         else:
-            stage(f"launching secondary '{secondary}' worker "
-                  f"(budget {remaining:.0f}s)")
-            parsed2, err2, at_stage2, _ = _run_worker_once(
-                secondary, remaining, 1)
-            if parsed2 is not None:
-                prefix = secondary
-                result[parsed2["metric"]] = parsed2["value"]
-                result[f"{prefix}_unit"] = parsed2["unit"]
-                result[f"{prefix}_vs_baseline"] = parsed2["vs_baseline"]
-                for k in ("per_step_ms", "mfu", "model_flops_per_step",
-                          "model_flops_per_sec_per_chip"):
-                    if k in parsed2:
-                        result[f"{prefix}_{k}"] = parsed2[k]
-            else:
-                result[f"{secondary}_error"] = \
-                    f"{err2[:300]} (at {at_stage2})"
-                stage(f"secondary '{secondary}' failed: {err2[:200]}")
+            err2 = err2 or "worker returned no value"
+            result[f"{secondary}_error"] = \
+                f"{err2[:300]} (at {at_stage2})"
+            stage(f"secondary '{secondary}' failed: {err2[:200]}")
 
     print(json.dumps(result), flush=True)
     return 0
