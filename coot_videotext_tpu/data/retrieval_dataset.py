@@ -251,7 +251,14 @@ class RetrievalDataset:
         text_rows = []
         for k in self.keys:
             split = self.text_feats.sentence_splits.get(
-                k, self.text_feats.sentence_splits.get(f"v_{k[:11]}", [1]))
+                k, self.text_feats.sentence_splits.get(f"v_{k[:11]}"))
+            if split is None:
+                # never guess a row count: an undersized budget trips
+                # the collate-time overflow assert mid-epoch (or would
+                # silently truncate under -O)
+                raise KeyError(
+                    f"no sentence_splits entry for datapoint {k!r} "
+                    f"(or 'v_{k[:11]}'); cannot size slab_text_rows")
             text_rows.append(sum(split))
 
         def budget(rows: List[int]) -> int:

@@ -114,16 +114,18 @@ class MartConfig(trainer_configs.BaseExperimentConfig):
 
         if self.xl:
             assert self.recurrent, (
-                "recurrent must be True if TransformerXL is used.")
+                "the TransformerXL variant only exists as a recurrent "
+                "model: set recurrent=true alongside xl=true")
         if self.xl_grad:
-            assert self.xl, "xl must be True when using xl_grad"
+            assert self.xl, ("xl_grad selects the gradient-carrying XL "
+                             "memory and needs xl=true")
         assert not (self.recurrent and self.untied)
         assert not (self.recurrent and self.mtrans)
         assert not (self.untied and self.mtrans)
         if self.share_wd_cls_weight:
             assert self.word_vec_size == self.hidden_size, (
-                "hidden size must equal word embedding size when sharing "
-                "the embedding and classifier weights")
+                "tying the classifier to the word embedding requires "
+                "word_vec_size == hidden_size")
 
         # model_type inference (reference :193-207)
         if self.recurrent:

@@ -18,13 +18,15 @@ def compute_indices(num_frames_orig: int, num_frames_target: int,
                     rng: Optional[np.random.RandomState] = None
                     ) -> np.ndarray:
     """
-    Sample `num_frames_target` indices from range [0, num_frames_orig - 1]:
-    jittered-random within uniform intervals during training, center sample
-    during validation (reference maths.py:12).
+    Pick `num_frames_target` frame indices out of `num_frames_orig`.
+    Training draws one jittered index per (shuffled) uniform interval;
+    validation takes each interval's center. The interval bookkeeping
+    below is numerically pinned to reference maths.py:12 — golden tests
+    compare outputs index-for-index.
 
     Args:
-        rng: optional numpy RandomState; defaults to the global np.random
-            (matching the reference's use of the global generator).
+        rng: optional numpy RandomState; falls back to the global
+            np.random stream like the original does.
     """
     if rng is None:
         rng = np.random
@@ -51,8 +53,10 @@ def expand_video_segment(num_frames_video: int, min_frames_seg: int,
                          start_frame_seg: int, stop_frame_seg: int
                          ) -> Tuple[int, int, bool]:
     """
-    Expand a segment to have at least `min_frames_seg` frames, alternating
-    left/right growth (reference maths.py:64).
+    Grow [start, stop) until it spans at least `min_frames_seg` frames,
+    stealing one frame from the left then one from the right per
+    iteration, clamped to the video bounds (pinned to reference
+    maths.py:64; the left-first order affects which frames clips keep).
     """
     num_frames_seg = stop_frame_seg - start_frame_seg
     changes = False
@@ -103,7 +107,7 @@ def np_str_len(str_arr: Union[np.ndarray, Iterable]) -> np.ndarray:
     str_arr = np.asarray(str_arr)
     if not str_arr.dtype.kind == "U":
         raise TypeError(
-            f"Computing str length of dtype {str_arr.dtype} will not work")
+            f"np_str_len needs a unicode array, got dtype {str_arr.dtype}")
     try:
         return (str_arr.astype(object).reshape(-1) != "").astype(int).reshape(
             str_arr.shape) * np.vectorize(len)(

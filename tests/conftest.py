@@ -7,6 +7,15 @@ Note: this environment registers a TPU PJRT plugin from sitecustomize before
 conftest runs, and that registration overrides the JAX_PLATFORMS env var —
 `jax.config.update` after import is the reliable way to pin the cpu backend
 (backends initialize lazily on first use, so this is early enough).
+
+Suite wall-clock budget: keep the full run under ~15 minutes uncontended
+on this 1-core host (warm .jax_cache). The big line items are the
+caption e2e trainings (test_caption_e2e.py, all 5 architectures) and the
+torch translator parity run (test_translator_parity.py); new tests
+should prefer the tiny shapes in tests/helpers.py and module-scoped
+fixtures so growth in coverage doesn't regress the suite every future
+round depends on. (Reference points: 157 tests ~7-14 min uncontended,
+~19 min under a concurrent torch A/B run.)
 """
 
 import os

@@ -357,3 +357,54 @@ def test_caption_tp_step_matches_dp(tmp_path_factory):
                     jax.tree_util.tree_leaves(results["dp_tp"][2])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_eval_step_dp8_matches_single_device(setup):
+    """The reference's validation contract is half the trainer
+    (trainer_retrieval.py:312-436): embedding collection + rank metrics.
+    Run the on-device eval step over the dp8 mesh and unmeshed, and
+    require identical embeddings, loss parts, and retrieval metrics
+    (tasks/retrieval/eval.py on mesh-produced embeddings)."""
+    from coot_videotext_tpu.tasks.retrieval.eval import compute_retrieval
+    from coot_videotext_tpu.tasks.retrieval.steps import (
+        make_retrieval_eval_step)
+
+    cfg, mgr, opt, state, train_loader = setup
+    store = train_loader.device_store
+    meta = train_loader.device_meta
+    sampling = {"shapes": meta.shapes, "max_frames": meta.max_frames}
+    lw = cfg.train.contrastive_loss_config.as_dict()
+    kwargs = dict(loss_weights=lw,
+                  margin=cfg.train.contrastive_loss_config.margin,
+                  loss_cycle_cons=cfg.train.loss_cycle_cons,
+                  use_store=True, device_sampling=sampling)
+    batch = {"dp_idx": jnp.arange(8, dtype=jnp.int32),
+             "batch_valid": jnp.ones(8, bool)}
+    rng = jax.random.PRNGKey(7)
+    store_args = (store.vid_store, store.text_store, meta.tables)
+
+    single = make_retrieval_eval_step(mgr.model_train, mesh=None, **kwargs)
+    embs0, parts0 = jax.device_get(
+        single(state.params, batch, rng, *store_args))
+
+    mesh = get_mesh({"data": 8})
+    b = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in
+         batch.items()}
+    meshed = make_retrieval_eval_step(mgr.model_train, mesh=mesh, **kwargs)
+    embs1, parts1 = jax.device_get(
+        meshed(jax.device_put(state.params, replicated_sharding(mesh)),
+               b, rng, *store_args))
+
+    for k in parts0:
+        assert np.isclose(parts0[k], parts1[k], rtol=1e-5), k
+    for k in embs0:
+        np.testing.assert_allclose(embs0[k], embs1[k],
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+    # rank metrics computed from the mesh-produced embeddings must match
+    # the single-device ones exactly (they quantize to counts)
+    res_v0, res_p0, sum0, _ = compute_retrieval(
+        embs0, "vid_emb", "par_emb", print_fn=lambda *_: None)
+    res_v1, res_p1, sum1, _ = compute_retrieval(
+        embs1, "vid_emb", "par_emb", print_fn=lambda *_: None)
+    assert res_v0 == res_v1 and res_p0 == res_p1 and sum0 == sum1

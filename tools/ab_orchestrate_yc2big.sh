@@ -20,6 +20,13 @@ set -u
 cd "$(dirname "$0")/.."
 CONFIG=config/retrieval/ab/yc2big_ab.yaml
 CHUNK=${EPOCHS_PER_CHUNK:-4}
+# final-epoch checkpoint marker derived from the yaml (same as
+# ab_tpu_retrieval.py run_chunked), not a hardcoded epoch count
+LAST_EPOCH=$(python - "$CONFIG" <<'PY'
+import sys, yaml
+print(int(yaml.safe_load(open(sys.argv[1]))["train"]["num_epochs"]) - 1)
+PY
+)
 
 run_seed() { # $1 = run name (tpubigs0), $2 = seed, $3 = pidfile
   local dir="experiments_tpu_ab/retrieval/default/yc2big_ab_${1}1"
@@ -28,7 +35,7 @@ run_seed() { # $1 = run name (tpubigs0), $2 = seed, $3 = pidfile
     >> "/tmp/${1}_chunked.log" 2>&1 &
   echo $! > "$3"
   local tries=0
-  while [ ! -f "$dir/models/trainerstate_11.json" ]; do
+  while [ ! -f "$dir/models/trainerstate_${LAST_EPOCH}.json" ]; do
     if ! kill -0 "$(cat "$3")" 2>/dev/null; then
       tries=$((tries+1))
       if [ "$tries" -gt 6 ]; then echo "[queue] giving up on $1"; return 1; fi

@@ -75,6 +75,7 @@ def run_chunked(args) -> None:
         target = args.epochs
     exp_dir = _experiment_dir(args.config, args.run)
 
+    stalls = 0
     while True:
         done = _done_epochs(exp_dir)
         if done and done[-1] >= target - 1:
@@ -93,15 +94,26 @@ def run_chunked(args) -> None:
         print(f"[chunked] epochs {nxt}..{upto - 1}/{target - 1}: "
               f"{' '.join(cmd[1:])}", flush=True)
         rc = subprocess.call(cmd)
-        if rc != 0:
-            new = _done_epochs(exp_dir)
-            if new == done:
-                print(f"[chunked] child rc={rc} with no new checkpoint; "
-                      "aborting (see the experiment's logs/run_*.log)",
+        new = _done_epochs(exp_dir)
+        if rc != 0 and new == done:
+            print(f"[chunked] child rc={rc} with no new checkpoint; "
+                  "aborting (see the experiment's logs/run_*.log)",
+                  flush=True)
+            sys.exit(rc)
+        # a clean child exit that advanced no epoch (e.g. the trainer
+        # deciding it is already done, or checkpointing misconfigured)
+        # would otherwise relaunch identical children forever
+        if new == done:
+            stalls += 1
+            if stalls >= 3:
+                print(f"[chunked] {stalls} consecutive children made no "
+                      f"epoch progress (stuck at {done}); aborting",
                       flush=True)
-                sys.exit(rc)
-            # checkpoint advanced: the failure was post-save (e.g. a
-            # teardown crash); keep going
+                sys.exit(1)
+        else:
+            stalls = 0
+        # checkpoint advanced after rc!=0: the failure was post-save
+        # (e.g. a teardown crash); keep going
 
 
 def main() -> None:
