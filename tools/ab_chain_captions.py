@@ -81,24 +81,25 @@ def export_side(side: str) -> None:
         print(f"[chain] {src} -> {dst}", flush=True)
 
 
-def train_side(side: str) -> None:
+def train_side(side: str, seed: int) -> None:
     feat_dir = os.path.join("data", "yc2big_caption",
                             f"embeddings_{side}")
     ann_dir = os.path.join("data", "yc2big_caption", "annotations")
+    run = f"{'tpu' if side == 'tpu' else 'ref'}capbig{seed}"
     if side == "tpu":
         cmd = [sys.executable, "train_caption.py",
                "-c", CAPTION_CONFIG,
                "--annotations_dir", ann_dir,
                "--coot_feat_dir", feat_dir,
                "--log_dir", "experiments_tpu_ab",
-               "--workers", "0", "--seed", "0", "--reset",
-               "--run_name", "tpucapbig0"]
+               "--workers", "0", "--seed", str(seed), "--reset",
+               "--run_name", run]
     else:
         cmd = [sys.executable, "tools/ab_reference_caption.py",
                "--config", CAPTION_CONFIG,
                "--annotations_dir", ann_dir,
                "--coot_feat_dir", feat_dir,
-               "--run", "refcapbig0", "--seed", "0"]
+               "--run", run, "--seed", str(seed)]
     print(f"[chain] train {side}: {' '.join(cmd[1:])}", flush=True)
     sys.exit(subprocess.call(cmd, cwd=REPO))
 
@@ -107,11 +108,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("step", choices=["export", "train"])
     ap.add_argument("--side", choices=["tpu", "ref"], required=True)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="MART training seed; the run name becomes "
+                         "<side>capbig<seed> (both A/B seeds train on "
+                         "the side's ONE exported embedding set)")
     args = ap.parse_args()
     if args.step == "export":
         export_side(args.side)
     else:
-        train_side(args.side)
+        train_side(args.side, args.seed)
 
 
 if __name__ == "__main__":
