@@ -71,6 +71,14 @@ class RecursiveTransformer(nn.Module):
         when return_memory (reference :1427-1464).
         """
         step_size = len(input_ids_list)
+        use_scan = (bool(getattr(self.cfg, "recurrent_scan", False))
+                    and not return_memory and step_size > 1
+                    and isinstance(input_ids_list, jnp.ndarray))
+        if use_scan:
+            return self._forward_scan(
+                input_ids_list, video_features_list, input_masks_list,
+                token_type_ids_list, input_labels_list,
+                deterministic=deterministic)
         prev_ms: List[Optional[jnp.ndarray]] = \
             [None] * self.cfg.num_hidden_layers
         memory_list = []
@@ -88,6 +96,50 @@ class RecursiveTransformer(nn.Module):
         for idx in range(step_size):
             caption_loss = caption_loss + self.compute_loss(
                 scores_list[idx], input_labels_list[idx])
+        return caption_loss, scores_list
+
+    def _forward_scan(self, input_ids_list, video_features_list,
+                      input_masks_list, token_type_ids_list,
+                      input_labels_list, *, deterministic: bool):
+        """lax.scan alternative to the unrolled step loop (opt-in via
+        config `recurrent_scan`): step 0 runs unrolled (it takes the
+        MemoryInitializer branch, a different graph), steps 1..S-1
+        compile ONCE as a scanned body instead of S-1 traced copies —
+        the compile-time lever for large max_n_sen. Same math per step;
+        deterministic outputs match the unroll to float tolerance.
+        Training differs only in the per-step dropout streams (nn.scan
+        folds the step index into the rng instead of the module call
+        counter), so seeded trajectories are not bit-comparable with
+        unrolled runs — keep one setting per experiment."""
+        import jax
+        from flax import linen as nn
+
+        prev_ms, _, scores0 = self.forward_step(
+            [None] * self.cfg.num_hidden_layers, input_ids_list[0],
+            video_features_list[0], input_masks_list[0],
+            token_type_ids_list[0], deterministic=deterministic)
+
+        def body(mdl, carry, xs):
+            ids, feats, masks, ttys = xs
+            new_ms, _, scores = mdl.forward_step(
+                list(carry), ids, feats, masks, ttys,
+                deterministic=deterministic)
+            return tuple(new_ms), scores
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"dropout": True},
+                       in_axes=0, out_axes=0)
+        _, scores_rest = scan(
+            self, tuple(prev_ms),
+            (input_ids_list[1:], video_features_list[1:],
+             input_masks_list[1:], token_type_ids_list[1:]))
+
+        caption_loss = self.compute_loss(scores0, input_labels_list[0])
+        caption_loss = caption_loss + jnp.sum(
+            jax.vmap(self.compute_loss)(scores_rest,
+                                        input_labels_list[1:]))
+        scores_list = [scores0] + [scores_rest[i]
+                                   for i in range(scores_rest.shape[0])]
         return caption_loss, scores_list
 
     def compute_loss(self, scores, labels):

@@ -93,6 +93,12 @@ class MartConfig(trainer_configs.BaseExperimentConfig):
         self.n_memory_cells: int = config.pop("n_memory_cells")
         self.share_wd_cls_weight: bool = config.pop("share_wd_cls_weight")
         self.recurrent: bool = config.pop("recurrent")
+        # opt-in (beyond the reference): compile the recursive forward's
+        # sentence steps 1..S-1 as ONE nn.scan body instead of S-1
+        # unrolled copies — large compile-time win at equal math; the
+        # per-step dropout rng derivation differs, so seeded training
+        # runs are not bit-comparable across this flag
+        self.recurrent_scan: bool = config.pop("recurrent_scan", False)
         self.untied: bool = config.pop("untied")
         self.mtrans: bool = config.pop("mtrans")
         self.xl: bool = config.pop("xl")
