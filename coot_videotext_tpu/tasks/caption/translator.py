@@ -10,10 +10,13 @@ Token-for-token parity with reference mart/translator.py:
       forward builds the next-sentence memory (:231-234)
     - single-sentence greedy mirrors the same loop without memory.
 
-TPU-native execution: the per-sentence token loop is a lax.fori_loop inside
-ONE jitted program (the reference's full-recompute-per-token semantics kept
-exactly — optimizing to cached decoding is a later perf pass); sentence
-steps iterate on host carrying the memory arrays.
+TPU-native execution: each sentence's token loop is a lax.fori_loop, and by
+default the WHOLE batch — all S sentences, EOS re-masking, and the
+inter-sentence memory rebuilds — fuses into one jitted program
+(`_greedy_fused_fn`), so a batch decode is a single device dispatch (the
+reference's full-recompute-per-token semantics kept exactly; the
+per-sentence dispatch path remains available via fused=False and is pinned
+token-for-token to the fused one by tests/test_caption_scan.py).
 """
 
 from __future__ import annotations
@@ -113,11 +116,69 @@ class Translator:
 
         return jax.jit(fn)
 
+    def _greedy_fused_fn(self, step_size: int):
+        """Whole-batch greedy decode as ONE jitted program: all
+        `step_size` sentences (token fori_loops + EOS re-masking +
+        memory rebuild between sentences) fuse into a single dispatch.
+        Same op sequence as the per-sentence path — on a tunneled TPU
+        this removes S-1 host round-trips per batch call."""
+        cfg = self.cfg
+        model = self.model
+
+        def fn(params, ids_st, feats_st, masks_st, ttys_st):
+            def fwd(ms, ids, masks, feats, ttys):
+                return model.apply(
+                    {"params": params}, ms, ids, feats, masks, ttys,
+                    deterministic=True, method=model.forward_step)
+
+            prev_ms = [None] * cfg.num_hidden_layers
+            out_ids = []
+            for idx in range(step_size):
+                ids0, masks0 = ids_st[idx], masks_st[idx]
+                feats, ttys = feats_st[idx], ttys_st[idx]
+                ms = prev_ms  # this sentence reads LAST sentence's memory
+
+                def body(dec_idx, carry, *, ms=ms, feats=feats,
+                         ttys=ttys):
+                    ids, masks, next_symbols = carry
+                    ids = ids.at[:, dec_idx].set(next_symbols)
+                    masks = masks.at[:, dec_idx].set(1)
+                    _, _, scores = fwd(ms, ids, masks, feats, ttys)
+                    scores = scores.at[:, :, UNK].set(-1e10)
+                    row = jnp.take_along_axis(
+                        scores,
+                        jnp.full((scores.shape[0], 1, 1), dec_idx),
+                        axis=1)[:, 0]
+                    next_words = jnp.argmax(row, axis=1).astype(ids.dtype)
+                    return ids, masks, next_words
+
+                bsz = ids0.shape[0]
+                start = jnp.full((bsz,), BOS, ids0.dtype)
+                ids, masks, _ = jax.lax.fori_loop(
+                    cfg.max_v_len, cfg.max_v_len + cfg.max_t_len, body,
+                    (ids0, masks0, start))
+                ids, masks = mask_tokens_after_eos(ids, masks)
+                prev_ms, _, _ = fwd(ms, ids, masks, feats, ttys)
+                out_ids.append(ids[:, cfg.max_v_len:])
+            return jnp.stack(out_ids)
+
+        return jax.jit(fn)
+
     def translate_batch_greedy(self, input_ids_list, video_features_list,
-                               input_masks_list, token_type_ids_list
-                               ) -> List[np.ndarray]:
+                               input_masks_list, token_type_ids_list, *,
+                               fused: bool = False) -> List[np.ndarray]:
         """Recurrent greedy (reference :201). Inputs stacked (S, N, ...).
-        Returns [ (N, max_t_len) ] * S decoded text ids."""
+        Returns [ (N, max_t_len) ] * S decoded text ids.
+
+        The default is the per-sentence dispatch loop with DEFERRED
+        result fetch: all S sentence programs are dispatched
+        asynchronously (chained on-device by the memory carry) and the
+        decoded ids are fetched once at the end — one host sync per
+        batch instead of S. fused=True compiles the whole batch into a
+        single program instead; it emits identical tokens
+        (tests/test_caption_scan.py::test_fused_greedy_matches_stepwise)
+        but measured SLOWER on v5e (2.11s vs 0.86s per yc2-shaped batch
+        call, docs/PERFORMANCE.md round-5 notes), so it stays opt-in."""
         cfg = self.cfg
         params = self.params_provider()
         input_ids_list, input_masks_list = prepare_video_only_inputs(
@@ -125,6 +186,17 @@ class Translator:
             jnp.asarray(token_type_ids_list))
 
         step_size = len(input_ids_list)
+        if fused:
+            key = ("greedy_fused", step_size,
+                   tuple(input_ids_list[0].shape))
+            if key not in self._jit_cache:
+                self._jit_cache[key] = self._greedy_fused_fn(step_size)
+            out = self._jit_cache[key](
+                params, input_ids_list,
+                jnp.asarray(video_features_list), input_masks_list,
+                jnp.asarray(token_type_ids_list))
+            out = np.asarray(jax.device_get(out))
+            return [out[i] for i in range(step_size)]
         dec_seq_list = []
         prev_ms = None
         for idx in range(step_size):
@@ -137,9 +209,8 @@ class Translator:
                 jnp.asarray(video_features_list[idx]),
                 input_masks_list[idx],
                 jnp.asarray(token_type_ids_list[idx]))
-            dec_seq_list.append(np.asarray(
-                jax.device_get(ids[:, cfg.max_v_len:])))
-        return dec_seq_list
+            dec_seq_list.append(ids[:, cfg.max_v_len:])
+        return [np.asarray(a) for a in jax.device_get(dec_seq_list)]
 
     # ---------- single-sentence (non-recurrent) greedy ----------
 

@@ -69,3 +69,29 @@ def test_recurrent_scan_matches_unroll():
                       jax.tree_util.tree_leaves(grads_b)):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_fused_greedy_matches_stepwise():
+    """The fused whole-batch greedy decode (one dispatch) must emit
+    token-for-token identical ids to the per-sentence dispatch loop
+    (which tests/test_translator_parity.py pins against the reference's
+    own torch Translator)."""
+    from coot_videotext_tpu.tasks.caption.translator import Translator
+
+    model, _, args = _setup()
+    rngs = {"params": jax.random.PRNGKey(3),
+            "dropout": jax.random.PRNGKey(3)}
+    variables = model.init(rngs, *args, deterministic=True)
+    cfg = model.cfg
+    translator = Translator(model, lambda: variables["params"], cfg)
+
+    ids, feats, masks, ttys, _ = args
+    out_fused = translator.translate_batch_greedy(
+        ids, feats, masks, ttys, fused=True)
+    out_step = translator.translate_batch_greedy(
+        ids, feats, masks, ttys, fused=False)
+    assert len(out_fused) == len(out_step) == ids.shape[0]
+    for a, b in zip(out_fused, out_step):
+        np.testing.assert_array_equal(a, b)
+    # sanity: the decodes contain some non-PAD tokens
+    assert any(np.asarray(a).max() > 0 for a in out_fused)
