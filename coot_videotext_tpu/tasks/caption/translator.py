@@ -329,9 +329,10 @@ class Translator:
                 jnp.asarray(video_features_list[idx]),
                 jnp.asarray(token_type_ids_list[idx]),
                 input_masks_list[idx], prev_masks)
-            dec_seq_list.append(np.asarray(
-                jax.device_get(ids[:, cfg.max_v_len:])))
-        return dec_seq_list
+            dec_seq_list.append(ids[:, cfg.max_v_len:])
+        # deferred fetch: all sentence programs are dispatched async
+        # (chained on-device by memory + prev-mask carries); sync once
+        return [np.asarray(a) for a in jax.device_get(dec_seq_list)]
 
     # ---------- single-sentence untied / mtrans greedy ----------
 
