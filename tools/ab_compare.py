@@ -124,18 +124,27 @@ def main() -> None:
                     acc[n].append(last[n])
         return {n: (sum(v) / len(v) if v else None) for n, v in acc.items()}
 
-    # best-epoch values per run (reference README numbers are best-epoch;
-    # best = arg-best of the trainer's own det_best field when present,
-    # else the last epoch). --best-mode must match the trainer config's
-    # det_best_compare_mode; ties go to the EARLIEST epoch (the epoch
-    # the trainer itself would have kept as "best", and -- for runs that
-    # validate every 2 epochs -- the epoch whose metrics were actually
-    # computed rather than carried forward).
+    # best-epoch values per run (reference README numbers are best-epoch).
+    # Reproduces the trainer's own best tracking EXACTLY (reference
+    # nntrainer/trainer_base.py:644-670): walking epochs in order, a new
+    # epoch only becomes best when it beats the incumbent by the
+    # RELATIVE threshold (det_best_threshold_mode rel, value 1e-4 in
+    # every config this tool compares) -- in particular an exact tie
+    # keeps the EARLIER epoch, which matters because the quantized R@1
+    # mean really does tie across epochs (refbigs1x1 ep10==ep11).
+    # --best-mode must match the config's det_best_compare_mode.
     def best_ep(eps):
-        sign = 1 if args.best_mode == "max" else -1
-        cands = [(sign * v["best"], -ep) for ep, v in eps.items()
-                 if v.get("best") is not None]
-        return -max(cands)[1] if cands else max(eps)
+        rel = 1e-4
+        best_v = best_e = None
+        for ep in sorted(eps):
+            v = eps[ep].get("best")
+            if v is None:
+                continue
+            if (best_v is None
+                    or (args.best_mode == "max" and v > best_v * (1 + rel))
+                    or (args.best_mode == "min" and v < best_v * (1 - rel))):
+                best_v, best_e = v, ep
+        return best_e if best_e is not None else max(eps)
 
     def best_avg(runs):
         acc = {n: [] for n in names}
