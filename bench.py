@@ -247,11 +247,40 @@ def build_tables(num_videos: int, *, mean_clips: float, max_clips: int,
     return tables, frame_ptr, tok_ptr, total_clips
 
 
+def _relay_down() -> str:
+    """Health-probe the axon relay (the local end of the TPU tunnel,
+    /root/.tpu_init.py listening on 127.0.0.1:8082+). Returns a
+    diagnosis string when the relay is provably dead (connection
+    refused), else "". Observed 2026-08-21: the relay process exits
+    when the OUTER host closes its stdio channel; every later backend
+    init then hangs for the worker's whole budget — failing fast with a
+    clear reason (and letting the parent's backoff retry re-probe)
+    keeps the error line diagnosable and cheap."""
+    if os.environ.get("JAX_PLATFORMS", "axon") not in ("axon", ""):
+        return ""  # cpu/other backends don't need the tunnel
+    import socket
+    try:
+        s = socket.create_connection(("127.0.0.1", 8082), timeout=3)
+        s.close()
+        return ""
+    except ConnectionRefusedError:
+        return ("axon relay down: connection refused on 127.0.0.1:8082 "
+                "(tunnel endpoint /root/.tpu_init.py not running — "
+                "host-side transport closed; no client-side remedy)")
+    except OSError:
+        return ""  # listener exists but busy/slow: proceed to real init
+
+
 def _setup_jax():
     # persistent compilation cache: the second bench invocation (e.g. the
     # driver's) skips the program compile entirely
     cache_dir = Path(__file__).resolve().parent / ".jax_cache"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(cache_dir))
+
+    down = _relay_down()
+    if down:
+        stage(down)
+        raise RuntimeError(down)
 
     # NOTE: on this environment `import jax` itself performs the TPU
     # plugin handshake; if the tunnel is wedged (observed after a client
