@@ -405,15 +405,27 @@ def run_caption() -> dict:
     t_one = time.perf_counter() - t0
     stage(f"1-step chain: {t_one:.3f}s")
 
+    # N-step chains, repeated for a variance estimate like the retrieval
+    # worker (each chain ~0.2s; a transient server-side slowdown during a
+    # single chain skewed a caption capture by 30% on 2026-08-21 — the
+    # median over reps is robust to that)
     n_steps = int(os.environ.get("BENCH_CAPTION_STEPS", "16"))
-    t0 = time.perf_counter()
-    for g in range(2, 2 + n_steps):
-        state, metrics = step(state, batch, lr, jax.random.fold_in(rng, g))
-    sync(state)
-    t_many = time.perf_counter() - t0
-    stage(f"{n_steps}-step chain: {t_many:.3f}s")
+    n_reps = int(os.environ.get("BENCH_TIMING_REPS", "3"))
+    per_steps = []
+    g_base = 2
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        for g in range(g_base, g_base + n_steps):
+            state, metrics = step(state, batch, lr,
+                                  jax.random.fold_in(rng, g))
+        sync(state)
+        t_many = time.perf_counter() - t0
+        g_base += n_steps
+        per_steps.append((t_many - t_one) / (n_steps - 1))
+        stage(f"{n_steps}-step chain rep {rep + 1}/{n_reps}: "
+              f"{t_many:.3f}s")
 
-    per_step = (t_many - t_one) / (n_steps - 1)
+    per_step = float(np.median(per_steps))
     loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss), f"non-finite loss {loss}"
     words_per_sec_chip = words_per_step / per_step / n_chips
@@ -423,6 +435,11 @@ def run_caption() -> dict:
         "unit": "words/s/chip",
         "vs_baseline": round(
             words_per_sec_chip / REFERENCE_CAPTION_WORDS_PER_SEC, 3),
+        "value_min": round(
+            words_per_step / max(per_steps) / n_chips, 2),
+        "value_max": round(
+            words_per_step / min(per_steps) / n_chips, 2),
+        "timing_reps": n_reps,
     }
     result.update(_perf_extras(jax, flops_step, per_step, n_chips))
     stage(f"per_step={per_step * 1e3:.2f}ms  loss={loss:.4f}")
@@ -982,7 +999,8 @@ def _parent_inner(mode: str) -> int:
             result[f"{prefix}_vs_baseline"] = parsed2.get("vs_baseline")
             for k in ("per_step_ms", "per_call_ms", "mfu",
                       "model_flops_per_step",
-                      "model_flops_per_sec_per_chip"):
+                      "model_flops_per_sec_per_chip",
+                      "value_min", "value_max", "timing_reps"):
                 if k in parsed2:
                     result[f"{prefix}_{k}"] = parsed2[k]
         else:
